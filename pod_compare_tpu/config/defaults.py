@@ -1,0 +1,177 @@
+"""Default configuration tree.
+
+Key names deliberately mirror the reference's detectron2/yacs namespace so
+that its YAML configs port unchanged (reference: src/core/setup.py:79-133 for
+the probabilistic keys; detectron2 defaults for the rest — only the subset the
+reference actually exercises is kept).
+"""
+
+import math
+
+from pod_compare_tpu.config.node import ConfigNode
+
+
+def anchor_sizes(min_size: int = 32, num_levels: int = 5, scales_per_octave: int = 3):
+    """RetinaNet anchor sizes: 3 scales/octave over [32..512]
+    (reference: src/configs/Base-RetinaNet.yaml:8)."""
+    return [
+        [min_size * 2 ** lvl * 2 ** (i / scales_per_octave) for i in range(scales_per_octave)]
+        for lvl in range(num_levels)
+    ]
+
+
+def get_cfg() -> ConfigNode:
+    _C = ConfigNode()
+    _C.VERSION = 2
+    _C.OUTPUT_DIR = "./output"
+    _C.SEED = -1
+    # Set by evaluation CLIs when testing on a different dataset than training
+    # (reference: compute_probabilistic_metrics.py:32).
+    _C.ACTUAL_TEST_DATASET = ""
+
+    # ------------------------------------------------------------------ MODEL
+    _C.MODEL = ConfigNode()
+    _C.MODEL.META_ARCHITECTURE = "ProbabilisticRetinaNet"
+    _C.MODEL.WEIGHTS = ""
+    _C.MODEL.DEVICE = "tpu"
+    # BGR means/stds, matching detectron2's caffe-style R-50 preprocessing.
+    _C.MODEL.PIXEL_MEAN = [103.530, 116.280, 123.675]
+    _C.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
+
+    _C.MODEL.BACKBONE = ConfigNode()
+    _C.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+    _C.MODEL.BACKBONE.FREEZE_AT = 2
+
+    _C.MODEL.RESNETS = ConfigNode()
+    _C.MODEL.RESNETS.DEPTH = 50
+    _C.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    _C.MODEL.RESNETS.NORM = "FrozenBN"
+    _C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+    _C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+
+    _C.MODEL.FPN = ConfigNode()
+    _C.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    _C.MODEL.FPN.OUT_CHANNELS = 256
+
+    _C.MODEL.ANCHOR_GENERATOR = ConfigNode()
+    _C.MODEL.ANCHOR_GENERATOR.SIZES = anchor_sizes()
+    _C.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    _C.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
+
+    _C.MODEL.RETINANET = ConfigNode()
+    _C.MODEL.RETINANET.NUM_CLASSES = 80
+    _C.MODEL.RETINANET.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
+    _C.MODEL.RETINANET.NUM_CONVS = 4
+    _C.MODEL.RETINANET.IOU_THRESHOLDS = [0.4, 0.5]
+    _C.MODEL.RETINANET.IOU_LABELS = [0, -1, 1]
+    _C.MODEL.RETINANET.PRIOR_PROB = 0.01
+    _C.MODEL.RETINANET.SCORE_THRESH_TEST = 0.05
+    _C.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 1000
+    _C.MODEL.RETINANET.NMS_THRESH_TEST = 0.5
+    _C.MODEL.RETINANET.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    _C.MODEL.RETINANET.FOCAL_LOSS_GAMMA = 2.0
+    _C.MODEL.RETINANET.FOCAL_LOSS_ALPHA = 0.25
+    _C.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA = 0.1
+    # EMA normalizer for losses (detectron2 RetinaNet semantics).
+    _C.MODEL.RETINANET.LOSS_NORMALIZER_MOMENTUM = 0.9
+
+    # Kept for API parity with the reference's RPN-sourced sample transform
+    # (reference: probabilistic_inference.py:175-176).
+    _C.MODEL.RPN = ConfigNode()
+    _C.MODEL.RPN.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+
+    # Probabilistic modeling (reference: src/core/setup.py:89-107).
+    _C.MODEL.PROBABILISTIC_MODELING = ConfigNode()
+    _C.MODEL.PROBABILISTIC_MODELING.ANNEALING_STEP = 0
+    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.0
+    _C.MODEL.PROBABILISTIC_MODELING.MC_DROPOUT = ConfigNode()
+    _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS = ConfigNode()
+    _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "none"
+    _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 3
+    _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS = ConfigNode()
+    _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "none"
+    _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.COVARIANCE_TYPE = "diagonal"
+    _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 1000
+
+    # ------------------------------------------------- PROBABILISTIC_INFERENCE
+    # (reference: src/core/setup.py:109-133)
+    _C.PROBABILISTIC_INFERENCE = ConfigNode()
+    _C.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
+    _C.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.7
+    _C.PROBABILISTIC_INFERENCE.MC_DROPOUT = ConfigNode()
+    _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = False
+    _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 1
+    _C.PROBABILISTIC_INFERENCE.BAYES_OD = ConfigNode()
+    _C.PROBABILISTIC_INFERENCE.BAYES_OD.BOX_MERGE_MODE = "bayesian_inference"
+    _C.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "bayesian_inference"
+    _C.PROBABILISTIC_INFERENCE.BAYES_OD.DIRCH_PRIOR = "uniform"
+    _C.PROBABILISTIC_INFERENCE.ENSEMBLES_DROPOUT = ConfigNode()
+    _C.PROBABILISTIC_INFERENCE.ENSEMBLES_DROPOUT.BOX_MERGE_MODE = "pre_nms"
+    _C.PROBABILISTIC_INFERENCE.ENSEMBLES = ConfigNode()
+    _C.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE = "pre_nms"
+    _C.PROBABILISTIC_INFERENCE.ENSEMBLES.RANDOM_SEED_NUMS = [0, 1000, 2000, 3000, 4000]
+
+    # ----------------------------------------------------------------- SOLVER
+    _C.SOLVER = ConfigNode()
+    _C.SOLVER.IMS_PER_BATCH = 16
+    _C.SOLVER.BASE_LR = 0.01
+    _C.SOLVER.MOMENTUM = 0.9
+    _C.SOLVER.WEIGHT_DECAY = 1e-4
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.STEPS = (60000, 80000)
+    _C.SOLVER.MAX_ITER = 90000
+    _C.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    _C.SOLVER.WARMUP_ITERS = 1000
+    _C.SOLVER.CHECKPOINT_PERIOD = 5000
+    _C.SOLVER.CLIP_GRADIENTS = ConfigNode()
+    _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+
+    # ------------------------------------------------------------------ INPUT
+    _C.INPUT = ConfigNode()
+    _C.INPUT.MIN_SIZE_TRAIN = (800,)
+    _C.INPUT.MAX_SIZE_TRAIN = 1333
+    _C.INPUT.MIN_SIZE_TEST = 800
+    _C.INPUT.MAX_SIZE_TEST = 1333
+    _C.INPUT.FORMAT = "BGR"
+    _C.INPUT.RANDOM_FLIP = "horizontal"
+    # TPU-specific: static padded shape multiple (XLA needs fixed shapes).
+    _C.INPUT.SIZE_DIVISIBILITY = 32
+
+    # --------------------------------------------------------------- DATASETS
+    _C.DATASETS = ConfigNode()
+    _C.DATASETS.TRAIN = ("bdd_train",)
+    _C.DATASETS.TEST = ("bdd_val",)
+
+    _C.DATALOADER = ConfigNode()
+    _C.DATALOADER.NUM_WORKERS = 4
+
+    # ------------------------------------------------------------------- TEST
+    _C.TEST = ConfigNode()
+    _C.TEST.DETECTIONS_PER_IMAGE = 100
+    _C.TEST.EVAL_PERIOD = 0
+
+    # ----------------------------------------------------------- TPU/PARALLEL
+    # TPU-native additions (no reference equivalent; detectron2 `launch` is
+    # replaced by a jax device mesh, SURVEY.md §2.4).
+    _C.PARALLEL = ConfigNode()
+    _C.PARALLEL.DATA_AXIS = "data"
+    # Number of devices along the data axis; -1 = all local devices.
+    _C.PARALLEL.NUM_DEVICES = -1
+    # bfloat16 compute for backbone/head convs (MXU-native).
+    _C.PARALLEL.COMPUTE_DTYPE = "bfloat16"
+
+    return _C
+
+
+def add_probabilistic_config(cfg: ConfigNode) -> ConfigNode:
+    """No-op kept for reference API parity (reference: setup.py:79-133); the
+    probabilistic namespaces are part of the defaults here."""
+    return cfg
+
+
+def prior_logit_bias(prior_prob: float) -> float:
+    """Classification-head bias init from a prior probability
+    (reference: probabilistic_retinanet.py:453-455)."""
+    return -math.log((1.0 - prior_prob) / prior_prob)

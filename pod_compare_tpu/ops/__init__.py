@@ -1,0 +1,3 @@
+from pod_compare_tpu.ops import anchors, boxes, fusion, gaussian, losses, matcher, nms
+
+__all__ = ["anchors", "boxes", "fusion", "gaussian", "losses", "matcher", "nms"]

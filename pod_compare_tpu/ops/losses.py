@@ -1,0 +1,141 @@
+"""Detection losses in pure JAX (XLA fuses these into the backward pass).
+
+TPU-native equivalents of the fvcore/torch losses the reference exercises
+(SURVEY.md §2.2):
+  * sigmoid focal loss         (reference: probabilistic_retinanet.py:262-282)
+  * smooth L1                  (reference: probabilistic_retinanet.py:298-331)
+  * stochastic ("attenuated") focal loss — samples logits from the predicted
+    logit Gaussian (reference: probabilistic_retinanet.py:228-268)
+  * NLL box regression with log-variance clamp and annealed mixing with the
+    standard loss (reference: probabilistic_retinanet.py:287-322)
+
+All losses take explicit validity/positivity masks instead of boolean
+indexing, keeping shapes static under jit.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sigmoid_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Elementwise focal loss on logits; `targets` is one-hot {0,1}."""
+    p = jax.nn.sigmoid(logits)
+    # Numerically-stable BCE-with-logits.
+    ce = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    p_t = p * targets + (1.0 - p) * (1.0 - targets)
+    loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+        loss = alpha_t * loss
+    return loss
+
+
+def smooth_l1_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, beta: float = 0.0
+) -> jnp.ndarray:
+    """Elementwise smooth L1; beta=0 is pure L1 (the reference's setting,
+    src/configs/Base-RetinaNet.yaml:14)."""
+    diff = jnp.abs(pred - target)
+    if beta <= 0.0:
+        return diff
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def stochastic_focal_loss(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    logit_log_vars: jnp.ndarray,
+    targets: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    num_samples: int,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Loss-attenuation classification loss (Kendall & Gal NeurIPS'17).
+
+    Samples `num_samples` logits per anchor from N(logit, exp(log_var)) and
+    averages the focal loss over the sample axis (reference:
+    probabilistic_retinanet.py:228-268, sample count from
+    MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES). Returns the
+    masked SUM over (anchors, classes), mean over samples — caller divides by
+    the loss normalizer.
+
+    The sample axis is a leading vmap-friendly axis; XLA keeps the whole
+    (S, N, R, K) bank in registers/VMEM fused with the focal computation.
+    """
+    std = jnp.sqrt(jnp.exp(logit_log_vars))
+    noise = jax.random.normal(rng, (num_samples,) + logits.shape, dtype=logits.dtype)
+    stochastic_logits = logits[None] + noise * std[None]
+    loss = sigmoid_focal_loss(stochastic_logits, targets[None], alpha, gamma)
+    loss = jnp.where(valid_mask[None][..., None], loss, 0.0)
+    return jnp.sum(loss) / num_samples
+
+
+def nll_box_loss(
+    pred_deltas: jnp.ndarray,
+    gt_deltas: jnp.ndarray,
+    pred_log_vars: jnp.ndarray,
+    pos_mask: jnp.ndarray,
+    beta: float = 0.0,
+    log_var_clamp: float = 7.0,
+) -> jnp.ndarray:
+    """Diagonal-Gaussian NLL box loss: 0.5·exp(−s)·smoothL1 + 0.5·s, with
+    s = log-variance clamped to ±`log_var_clamp`
+    (reference: probabilistic_retinanet.py:287-307). Masked sum."""
+    s = jnp.clip(pred_log_vars, -log_var_clamp, log_var_clamp)
+    base = smooth_l1_loss(pred_deltas, gt_deltas, beta)
+    loss = 0.5 * jnp.exp(-s) * base + 0.5 * s
+    return jnp.sum(jnp.where(pos_mask[..., None], loss, 0.0))
+
+
+def annealing_weight(step: jnp.ndarray, annealing_step: int) -> jnp.ndarray:
+    """Exponential probabilistic-loss annealing: (100^w − 1)/99 with
+    w = min(1, step/annealing_step) (reference:
+    probabilistic_retinanet.py:313-321; annealing_step = SOLVER.STEPS[1])."""
+    w = jnp.minimum(1.0, step / float(max(annealing_step, 1)))
+    return (jnp.power(100.0, w) - 1.0) / 99.0
+
+
+def masked_sum_focal_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Standard (non-stochastic) focal loss, masked sum over anchors/classes
+    (reference: probabilistic_retinanet.py:276-282)."""
+    loss = sigmoid_focal_loss(logits, targets, alpha, gamma)
+    return jnp.sum(jnp.where(valid_mask[..., None], loss, 0.0))
+
+
+def masked_sum_smooth_l1(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    pos_mask: jnp.ndarray,
+    beta: float = 0.0,
+) -> jnp.ndarray:
+    """Smooth-L1 box loss, masked sum (reference:
+    probabilistic_retinanet.py:314-331)."""
+    loss = smooth_l1_loss(pred, target, beta)
+    return jnp.sum(jnp.where(pos_mask[..., None], loss, 0.0))
+
+
+def ema_loss_normalizer(
+    normalizer: jnp.ndarray,
+    num_pos: jnp.ndarray,
+    momentum: float = 0.9,
+) -> jnp.ndarray:
+    """EMA of the positive-anchor count used to normalize both losses
+    (detectron2 RetinaNet semantics, exercised at
+    reference: probabilistic_retinanet.py:201-203)."""
+    return momentum * normalizer + (1.0 - momentum) * jnp.maximum(num_pos, 1.0)

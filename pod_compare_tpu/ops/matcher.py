@@ -1,0 +1,93 @@
+"""Anchor–ground-truth label assignment in vectorized JAX.
+
+TPU-native equivalent of detectron2's Matcher + RetinaNet.label_anchors as
+exercised by the reference (reference: probabilistic_retinanet.py:129-130;
+IoU thresholds [0.4, 0.5] with labels [0, -1, 1] from
+src/configs/Base-RetinaNet.yaml:12-13). Ground truth is padded to a static
+G with a validity mask; the per-image matcher vmaps over the batch.
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pod_compare_tpu.ops.boxes import pairwise_iou
+
+
+class AnchorLabels(NamedTuple):
+    """Per-anchor assignment.
+
+    gt_classes: (R,) int32 — matched class for positives, `num_classes` for
+        background, −1 for ignore (detectron2 convention).
+    matched_boxes: (R, 4) — matched gt box (arbitrary where not positive).
+    """
+
+    gt_classes: jnp.ndarray
+    matched_boxes: jnp.ndarray
+
+
+def label_anchors(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    num_classes: int,
+    iou_thresholds: Tuple[float, float] = (0.4, 0.5),
+    allow_low_quality: bool = True,
+) -> AnchorLabels:
+    """Assign each anchor a class label and a regression target box.
+
+    Args:
+        anchors: (R, 4) XYXY.
+        gt_boxes: (G, 4) padded ground truth.
+        gt_classes: (G,) int contiguous class ids.
+        gt_valid: (G,) bool padding mask.
+        num_classes: K — background label value.
+        iou_thresholds: (negative-below, positive-at-or-above).
+        allow_low_quality: each gt's best-overlapping anchors are forced
+            positive (RetinaNet uses True).
+    """
+    lo, hi = iou_thresholds
+    iou = pairwise_iou(gt_boxes, anchors)  # (G, R)
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+
+    matched_idx = jnp.argmax(iou, axis=0)  # (R,)
+    matched_iou = jnp.max(iou, axis=0)  # (R,)
+
+    # Interval labels: [<lo] -> 0 (bg), [lo, hi) -> -1 (ignore), [>=hi] -> 1.
+    label = jnp.where(matched_iou >= hi, 1, jnp.where(matched_iou >= lo, -1, 0))
+
+    if allow_low_quality:
+        # Anchors achieving each gt's maximum IoU become positive while
+        # keeping their own argmax assignment (detectron2
+        # `set_low_quality_matches_` semantics). Guarded against degenerate
+        # zero-overlap gt, which would otherwise flag every anchor.
+        highest_per_gt = jnp.max(iou, axis=1)  # (G,)
+        is_best = (iou == highest_per_gt[:, None]) & (highest_per_gt > 0)[:, None]
+        forced = jnp.any(is_best & gt_valid[:, None], axis=0)  # (R,)
+        label = jnp.where(forced, 1, label)
+
+    anchor_classes = jnp.where(
+        label == 1,
+        gt_classes[matched_idx],
+        jnp.where(label == 0, num_classes, -1),
+    ).astype(jnp.int32)
+    matched_boxes = gt_boxes[matched_idx]
+    return AnchorLabels(gt_classes=anchor_classes, matched_boxes=matched_boxes)
+
+
+def label_anchors_batch(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    num_classes: int,
+    iou_thresholds: Tuple[float, float] = (0.4, 0.5),
+) -> AnchorLabels:
+    """vmap of `label_anchors` over a leading batch axis of the gt arrays."""
+    return jax.vmap(
+        lambda b, c, v: label_anchors(
+            anchors, b, c, v, num_classes, iou_thresholds
+        )
+    )(gt_boxes, gt_classes, gt_valid)

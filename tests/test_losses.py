@@ -1,0 +1,124 @@
+"""Loss tests against torch/fvcore-formula oracles (SURVEY.md §2.2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from pod_compare_tpu.ops import losses as L
+
+
+def torch_sigmoid_focal_loss(logits, targets, alpha=0.25, gamma=2.0):
+    """Direct port of fvcore.nn.sigmoid_focal_loss (the reference's provider)."""
+    p = torch.sigmoid(logits)
+    ce = F.binary_cross_entropy_with_logits(logits, targets, reduction="none")
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    return loss
+
+
+def test_focal_loss_matches_fvcore(rng):
+    logits = rng.randn(40, 7).astype(np.float32) * 3
+    targets = (rng.rand(40, 7) > 0.8).astype(np.float32)
+    ours = np.asarray(L.sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    ref = torch_sigmoid_focal_loss(torch.tensor(logits), torch.tensor(targets)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_smooth_l1_matches_fvcore(rng):
+    pred = rng.randn(30, 4).astype(np.float32)
+    target = rng.randn(30, 4).astype(np.float32)
+    for beta in [0.0, 0.5]:
+        ours = np.asarray(
+            L.smooth_l1_loss(jnp.asarray(pred), jnp.asarray(target), beta)
+        )
+        diff = torch.abs(torch.tensor(pred) - torch.tensor(target))
+        if beta == 0.0:
+            ref = diff
+        else:
+            ref = torch.where(diff < beta, 0.5 * diff ** 2 / beta, diff - 0.5 * beta)
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_nll_box_loss_matches_reference_formula(rng):
+    """0.5·exp(−s)·|x−t| + 0.5·s with s clamped ±7
+    (probabilistic_retinanet.py:287-307)."""
+    pred = rng.randn(20, 4).astype(np.float32)
+    target = rng.randn(20, 4).astype(np.float32)
+    log_var = (rng.randn(20, 4) * 5).astype(np.float32)
+    pos = rng.rand(20) > 0.3
+
+    ours = float(
+        L.nll_box_loss(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(log_var),
+            jnp.asarray(pos), beta=0.0,
+        )
+    )
+    s = torch.clamp(torch.tensor(log_var[pos]), -7.0, 7.0)
+    base = torch.abs(torch.tensor(pred[pos]) - torch.tensor(target[pos]))
+    ref = float((0.5 * torch.exp(-s) * base + 0.5 * s).sum())
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_annealing_weight_endpoints():
+    """(100^w − 1)/99 (probabilistic_retinanet.py:320-321)."""
+    assert float(L.annealing_weight(jnp.asarray(0.0), 80000)) == 0.0
+    np.testing.assert_allclose(float(L.annealing_weight(jnp.asarray(80000.0), 80000)), 1.0)
+    np.testing.assert_allclose(float(L.annealing_weight(jnp.asarray(100000.0), 80000)), 1.0)
+    w = float(L.annealing_weight(jnp.asarray(40000.0), 80000))
+    np.testing.assert_allclose(w, (100 ** 0.5 - 1) / 99, rtol=1e-5)
+
+
+def test_stochastic_focal_loss_converges_to_deterministic(rng):
+    """With log-var → −inf the stochastic loss equals the plain focal loss."""
+    logits = rng.randn(3, 10, 7).astype(np.float32)
+    targets = (rng.rand(3, 10, 7) > 0.8).astype(np.float32)
+    valid = np.ones((3, 10), bool)
+    log_vars = np.full((3, 10, 7), -40.0, np.float32)
+
+    stoch = float(
+        L.stochastic_focal_loss(
+            jax.random.PRNGKey(0), jnp.asarray(logits), jnp.asarray(log_vars),
+            jnp.asarray(targets), jnp.asarray(valid), num_samples=4,
+        )
+    )
+    det = float(
+        L.masked_sum_focal_loss(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid)
+        )
+    )
+    np.testing.assert_allclose(stoch, det, rtol=1e-3)
+
+
+def test_stochastic_focal_loss_respects_mask(rng):
+    logits = rng.randn(2, 6, 7).astype(np.float32)
+    targets = (rng.rand(2, 6, 7) > 0.8).astype(np.float32)
+    log_vars = rng.randn(2, 6, 7).astype(np.float32)
+    all_valid = np.ones((2, 6), bool)
+    none_valid = np.zeros((2, 6), bool)
+    key = jax.random.PRNGKey(1)
+    full = float(
+        L.stochastic_focal_loss(
+            key, jnp.asarray(logits), jnp.asarray(log_vars), jnp.asarray(targets),
+            jnp.asarray(all_valid), 3,
+        )
+    )
+    empty = float(
+        L.stochastic_focal_loss(
+            key, jnp.asarray(logits), jnp.asarray(log_vars), jnp.asarray(targets),
+            jnp.asarray(none_valid), 3,
+        )
+    )
+    assert full > 0 and empty == 0.0
+
+
+def test_ema_loss_normalizer():
+    out = float(L.ema_loss_normalizer(jnp.asarray(100.0), jnp.asarray(40.0), 0.9))
+    np.testing.assert_allclose(out, 0.9 * 100 + 0.1 * 40)
+    # max(num_pos, 1) guard
+    out = float(L.ema_loss_normalizer(jnp.asarray(100.0), jnp.asarray(0.0), 0.9))
+    np.testing.assert_allclose(out, 0.9 * 100 + 0.1 * 1.0)
