@@ -1,0 +1,23 @@
+from pod_compare_tpu.inference.core import (
+    Candidates,
+    Detections,
+    probabilistic_inference_core,
+)
+from pod_compare_tpu.inference.postprocess import (
+    detections_to_json,
+    detector_postprocess,
+)
+from pod_compare_tpu.inference.predictor import (
+    ProbabilisticPredictor,
+    build_predictor,
+)
+
+__all__ = [
+    "Candidates",
+    "Detections",
+    "probabilistic_inference_core",
+    "detections_to_json",
+    "detector_postprocess",
+    "ProbabilisticPredictor",
+    "build_predictor",
+]

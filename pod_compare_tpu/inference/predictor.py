@@ -1,0 +1,316 @@
+"""Probabilistic predictor: end-to-end jitted inference pipelines.
+
+TPU-native replacement for the reference's predictor stack
+(reference: probabilistic_inference.py:20-534). Each INFERENCE_MODE becomes
+ONE jitted XLA program — backbone → (vmapped stochastic) head → anchorwise
+core → fusion → rescale — so N stochastic forwards, sampling, clustering and
+Bayesian fusion never leave the device (BASELINE.json north star).
+
+Stochastic axes are explicit vmaps:
+  * MC-dropout runs: backbone once, head vmapped over M dropout keys
+    (the reference replicates feature lists ×M through the head,
+    probabilistic_retinanet.py:104-108).
+  * Ensembles: member parameters stacked into a leading axis and the whole
+    forward vmapped — a model-replica axis that can also be sharded over a
+    device mesh (SURVEY.md §2.3).
+"""
+
+from functools import partial
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pod_compare_tpu.inference import modes as M
+from pod_compare_tpu.inference.core import (
+    Detections,
+    probabilistic_inference_core,
+)
+from pod_compare_tpu.inference.postprocess import detector_postprocess
+from pod_compare_tpu.models import build_anchor_generator, build_model
+
+
+def _tree_stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+def _mean_outputs(outs):
+    """Average stacked head outputs over the leading run axis
+    (reference: probabilistic_inference.py:211-270)."""
+    mean = lambda x: None if x is None else jnp.mean(x, axis=0)
+    return {
+        "box_cls": mean(outs["box_cls"]),
+        "box_delta": mean(outs["box_delta"]),
+        "box_cls_var": mean(outs["box_cls_var"]),
+        "box_reg_var": mean(outs["box_reg_var"]),
+    }
+
+
+class ProbabilisticPredictor:
+    """Builds and runs the jitted inference pipeline for one INFERENCE_MODE.
+
+    Args:
+        cfg: frozen experiment config (train cfg + inference cfg merged).
+        image_size: static network input (H, W) after resize+pad.
+        params: parameter pytree (single-model modes).
+        params_list: list of member pytrees (ensembles mode; order matches
+            PROBABILISTIC_INFERENCE.ENSEMBLES.RANDOM_SEED_NUMS, mirroring
+            the reference's seed-sibling checkpoint discovery,
+            probabilistic_inference.py:59-77).
+    """
+
+    def __init__(self, cfg, image_size, params=None, params_list=None):
+        self.cfg = cfg
+        self.image_size = tuple(image_size)
+        self.model = build_model(cfg)
+        gen = build_anchor_generator(cfg)
+        self.anchors = jnp.asarray(gen.concatenated(self.image_size))
+
+        self.mode = cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE
+        self.mc_enabled = bool(cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE)
+        self.num_runs = int(cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS)
+        if self.mc_enabled and self.model.dropout_rate == 0.0:
+            raise ValueError(
+                "MC_DROPOUT.ENABLE requires a model trained with dropout "
+                "(MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE > 0)."
+            )
+
+        if self.mode == "ensembles":
+            assert params_list is not None, "ensembles mode needs params_list"
+            self.params = _tree_stack(params_list)
+            self.num_members = len(params_list)
+        else:
+            assert params is not None
+            self.params = params
+            self.num_members = 1
+
+        self._fn = self._build_pipeline()
+
+    # ------------------------------------------------------------ internals
+    def _core_kwargs(self):
+        cfg = self.cfg
+        r = int(self.anchors.shape[0])
+        return dict(
+            topk=min(int(cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST), r),
+            score_thresh=float(cfg.MODEL.RETINANET.SCORE_THRESH_TEST),
+            cls_num_samples=int(
+                cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES
+            ),
+            box_num_samples=int(
+                cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES
+            ),
+            box_reg_weights=tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS),
+        )
+
+    def _mode_fn(self) -> Callable:
+        cfg = self.cfg
+        nms_thresh = float(cfg.MODEL.RETINANET.NMS_THRESH_TEST)
+        max_dets = int(cfg.TEST.DETECTIONS_PER_IMAGE)
+        affinity = float(cfg.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD)
+        mode = self.mode
+        if mode == "standard_nms":
+            return lambda c: M.standard_nms(c, nms_thresh, max_dets)
+        if mode == "anchor_statistics":
+            return lambda c: M.anchor_statistics(c, nms_thresh, max_dets, affinity)
+        if mode == "bayes_od":
+            bm = cfg.PROBABILISTIC_INFERENCE.BAYES_OD.BOX_MERGE_MODE
+            cm = cfg.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE
+            return lambda c: M.bayes_od(c, nms_thresh, max_dets, affinity, bm, cm)
+        if mode == "mc_dropout_ensembles":
+            merge = cfg.PROBABILISTIC_INFERENCE.ENSEMBLES_DROPOUT.BOX_MERGE_MODE
+            if merge == "pre_nms":
+                return lambda c: M.standard_nms(c, nms_thresh, max_dets)
+            return None  # post_nms handled by the dedicated pipeline
+        if mode == "ensembles":
+            merge = cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE
+            if merge == "pre_nms":
+                return lambda c: M.standard_nms(c, nms_thresh, max_dets)
+            return None
+        raise ValueError(f"Invalid inference mode {mode}.")
+
+    def _is_post_nms_merge(self) -> bool:
+        cfg = self.cfg
+        if self.mode == "mc_dropout_ensembles":
+            return cfg.PROBABILISTIC_INFERENCE.ENSEMBLES_DROPOUT.BOX_MERGE_MODE == "post_nms"
+        if self.mode == "ensembles":
+            return cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE == "post_nms"
+        return False
+
+    def _stochastic_runs(self) -> int:
+        """Number of stochastic forward runs feeding the pipeline."""
+        if self.mode == "ensembles":
+            return self.num_members
+        if self.mc_enabled and self.num_runs > 1:
+            return self.num_runs
+        return 1
+
+    def _member_outputs(self, params, images, rng):
+        """All stochastic head outputs, stacked with leading run axis M.
+
+        Returns (outs, is_multi): each entry (M, B, R, ·) when multi.
+        """
+        model = self.model
+        if self.mode == "ensembles":
+            # vmapped model-replica forward over stacked params (eval mode —
+            # the reference keeps ensemble members deterministic,
+            # probabilistic_inference.py:63-64).
+            outs = jax.vmap(
+                lambda p: model.apply({"params": p}, images, True)
+            )(params)
+            return outs, True
+        feats = model.apply({"params": params}, images, method="backbone")
+        if self.mc_enabled and self.num_runs > 1:
+            keys = jax.random.split(rng, self.num_runs)
+            outs = jax.vmap(
+                lambda k: model.apply(
+                    {"params": params}, feats, False,
+                    method="forward_head", rngs={"dropout": k},
+                )
+            )(keys)
+            return outs, True
+        out = model.apply({"params": params}, feats, True, method="forward_head")
+        return out, False
+
+    def _build_pipeline(self) -> Callable:
+        anchors = self.anchors
+        core_kwargs = self._core_kwargs()
+        post_nms_merge = self._is_post_nms_merge()
+        mode_fn = self._mode_fn()
+        cfg = self.cfg
+        nms_thresh = float(cfg.MODEL.RETINANET.NMS_THRESH_TEST)
+        max_dets = int(cfg.TEST.DETECTIONS_PER_IMAGE)
+        affinity = float(cfg.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD)
+
+        def pipeline(params, images, rng, input_sizes, output_sizes):
+            batch = images.shape[0]
+            outs, is_multi = self._member_outputs(params, images, rng)
+            img_keys = jax.random.split(rng, batch)
+
+            if not post_nms_merge:
+                if is_multi:
+                    mean_outs = _mean_outputs(outs)
+                    run_deltas = outs["box_delta"]  # (M, B, R, 4)
+
+                    def per_image(key, cls_i, delta_i, cvar_i, rvar_i, rd_i):
+                        cands = probabilistic_inference_core(
+                            key, anchors, cls_i, delta_i, cvar_i, rvar_i,
+                            rd_i, **core_kwargs,
+                        )
+                        return mode_fn(cands)
+
+                    dets = jax.vmap(per_image, in_axes=(0, 0, 0, _ax(mean_outs["box_cls_var"]), _ax(mean_outs["box_reg_var"]), 1))(
+                        img_keys,
+                        mean_outs["box_cls"],
+                        mean_outs["box_delta"],
+                        mean_outs["box_cls_var"],
+                        mean_outs["box_reg_var"],
+                        run_deltas,
+                    )
+                else:
+                    def per_image(key, cls_i, delta_i, cvar_i, rvar_i):
+                        cands = probabilistic_inference_core(
+                            key, anchors, cls_i, delta_i, cvar_i, rvar_i,
+                            None, **core_kwargs,
+                        )
+                        return mode_fn(cands)
+
+                    dets = jax.vmap(per_image, in_axes=(0, 0, 0, _ax(outs["box_cls_var"]), _ax(outs["box_reg_var"])))(
+                        img_keys,
+                        outs["box_cls"],
+                        outs["box_delta"],
+                        outs["box_cls_var"],
+                        outs["box_reg_var"],
+                    )
+            else:
+                # Post-NMS merge: per-run standard NMS then black-box fusion
+                # (reference: probabilistic_inference.py:444-481, 506-534).
+                assert is_multi
+
+                def per_image(key, cls_mi, delta_mi, cvar_mi, rvar_mi):
+                    run_keys = jax.random.split(key, cls_mi.shape[0])
+
+                    def per_run(k, cls_i, delta_i, cvar_i, rvar_i):
+                        cands = probabilistic_inference_core(
+                            k, anchors, cls_i, delta_i, cvar_i, rvar_i,
+                            None, **core_kwargs,
+                        )
+                        return M.standard_nms(cands, nms_thresh, max_dets)
+
+                    runs = jax.vmap(per_run, in_axes=(0, 0, 0, _ax(cvar_mi), _ax(rvar_mi)))(
+                        run_keys, cls_mi, delta_mi, cvar_mi, rvar_mi
+                    )
+                    # (M, D, ...) -> run-major concatenation (M*D, ...)
+                    flat = jax.tree_util.tree_map(
+                        lambda x: x.reshape((-1,) + x.shape[2:]), runs
+                    )
+                    return M.black_box_merge(flat, nms_thresh, max_dets, affinity)
+
+                dets = jax.vmap(per_image, in_axes=(0, 1, 1, _ax1(outs["box_cls_var"]), _ax1(outs["box_reg_var"])))(
+                    img_keys,
+                    outs["box_cls"],
+                    outs["box_delta"],
+                    outs["box_cls_var"],
+                    outs["box_reg_var"],
+                )
+
+            return jax.vmap(detector_postprocess)(
+                dets,
+                input_sizes[:, 0], input_sizes[:, 1],
+                output_sizes[:, 0], output_sizes[:, 1],
+            )
+
+        return jax.jit(pipeline)
+
+    # ------------------------------------------------------------------ API
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        input_sizes: jnp.ndarray,
+        output_sizes: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+    ) -> Detections:
+        """Run inference on a padded batch.
+
+        Args:
+            images: (B, H, W, 3) raw-pixel (BGR) images, resized and padded
+                to the static network size.
+            input_sizes: (B, 2) resized (pre-padding) sizes as (h, w).
+            output_sizes: (B, 2) original image sizes as (h, w).
+            rng: PRNG key for the stochastic paths (default: fixed seed).
+        Returns:
+            Batched `Detections` in original-image coordinates.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._fn(
+            self.params,
+            images,
+            rng,
+            jnp.asarray(input_sizes, jnp.float32),
+            jnp.asarray(output_sizes, jnp.float32),
+        )
+
+
+def _ax(x) -> Optional[int]:
+    """vmap in_axes helper: broadcast None fields."""
+    return None if x is None else 0
+
+
+def _ax1(x) -> Optional[int]:
+    return None if x is None else 1
+
+
+def build_predictor(
+    cfg, image_size, params=None, params_list=None
+) -> ProbabilisticPredictor:
+    """Dispatch mirroring the reference's `build_predictor`
+    (probabilistic_inference.py:20-33)."""
+    if cfg.MODEL.META_ARCHITECTURE in (
+        "ProbabilisticRetinaNet",
+        "RetinaNet",
+    ):
+        return ProbabilisticPredictor(cfg, image_size, params, params_list)
+    raise ValueError(
+        f"Invalid meta-architecture {cfg.MODEL.META_ARCHITECTURE}."
+    )

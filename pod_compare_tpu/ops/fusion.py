@@ -98,6 +98,7 @@ def cluster_statistics(
     min_members: int = 2,
     center_idx: jnp.ndarray = None,
     center_cov_fallback: float = 1e-4,
+    fallback_counts: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-cluster sample mean/covariance + mean member statistics.
 
@@ -113,6 +114,11 @@ def cluster_statistics(
         member_mask: (C, N) bool.
         boxes: (N, 4); prob_vectors: (N, K); covs: (N, 4, 4) or None.
         center_idx: (C,) int — cluster centers, used for the fallback path.
+        fallback_counts: (C,) — counts compared against `min_members` for
+            the fallback decision when it should use a different membership
+            than the statistics (the reference's anchor-statistics mode
+            counts raw-IoU members but averages class-consistent ones,
+            inference_utils.py:102-110).
     Returns:
         (C, 4) boxes, (C, K) prob vectors, (C, 4, 4) covariances.
     """
@@ -147,7 +153,8 @@ def cluster_statistics(
                 center_cov_fallback * jnp.eye(4, dtype=dtype),
                 (center_idx.shape[0], 4, 4),
             )
-        big = (counts >= min_members)[:, None]
+        decision_counts = counts if fallback_counts is None else fallback_counts
+        big = (decision_counts >= min_members)[:, None]
         mean_boxes = jnp.where(big, mean_boxes, center_boxes)
         mean_probs = jnp.where(big, mean_probs, center_probs)
         cluster_cov = jnp.where(big[..., None], cluster_cov, center_cov)
