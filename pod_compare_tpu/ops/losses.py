@@ -71,8 +71,14 @@ def stochastic_focal_loss(
 
     The sample axis is a leading vmap-friendly axis; XLA keeps the whole
     (S, N, R, K) bank in registers/VMEM fused with the focal computation.
+
+    The log-variance is clamped to ±10 (std ≤ e^5 logits) before exp — far
+    outside any trained operating point, but it keeps the loss finite when
+    training from a random (non-pretrained) backbone whose activation scale
+    can push exp() past the f32 range. The reference has no clamp here but
+    always initializes from ImageNet weights.
     """
-    std = jnp.sqrt(jnp.exp(logit_log_vars))
+    std = jnp.sqrt(jnp.exp(jnp.clip(logit_log_vars, -10.0, 10.0)))
     noise = jax.random.normal(rng, (num_samples,) + logits.shape, dtype=logits.dtype)
     stochastic_logits = logits[None] + noise * std[None]
     loss = sigmoid_focal_loss(stochastic_logits, targets[None], alpha, gamma)

@@ -1,0 +1,42 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's process-spawn + NCCL DDP stack
+(reference: detectron2.engine.launch at train_net.py:91-98; SURVEY.md §2.4):
+a single-controller `jax.sharding.Mesh` with a data axis; gradient reduction
+becomes XLA `psum` over ICI inserted automatically by jit+shardings. A
+separate optional member axis serves vmapped ensembles.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` local devices."""
+    devices = jax.devices()
+    if num_devices == -1:
+        num_devices = len(devices)
+    assert num_devices <= len(devices), (
+        f"requested {num_devices} devices, have {len(devices)}"
+    )
+    return Mesh(np.array(devices[:num_devices]), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Optional[Mesh], axis_name: str = "data") -> dict:
+    """Device-put a host batch with the leading axis sharded."""
+    if mesh is None:
+        return batch
+    sharding = data_sharding(mesh, axis_name)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}

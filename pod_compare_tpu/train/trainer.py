@@ -1,0 +1,205 @@
+"""Training engine: data-parallel jitted train step + host loop.
+
+TPU-native replacement for detectron2's DefaultTrainer/SimpleTrainer stack
+as exercised by the reference (reference: train_net.py:18-81; hot loop
+SURVEY.md §3.1). The whole step — forward (stochastic focal loss included),
+backward, optimizer — is ONE jitted XLA program; the batch axis is sharded
+over the device mesh and XLA inserts the gradient all-reduce over ICI
+(replacing detectron2's DDP/NCCL, SURVEY.md §2.4).
+
+State (params, momentum, EMA loss normalizer, step) lives replicated on
+device; the EMA normalizer is part of the carried state, replicating the
+reference's mutable `self.loss_normalizer` (probabilistic_retinanet.py:201).
+"""
+
+import time
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pod_compare_tpu.data.datasets import get_dataset
+from pod_compare_tpu.data.loader import TrainLoader
+from pod_compare_tpu.models import (
+    build_anchor_generator,
+    build_model,
+)
+from pod_compare_tpu.parallel.mesh import (
+    create_mesh,
+    data_sharding,
+    replicated,
+)
+from pod_compare_tpu.train.checkpoint import Checkpointer, resume_or_load
+from pod_compare_tpu.train.loss import LossConfig, compute_losses
+from pod_compare_tpu.train.optim import build_optimizer
+from pod_compare_tpu.utils.events import EventStorage
+from pod_compare_tpu.utils.logging import setup_logger
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    loss_normalizer: jnp.ndarray  # EMA of positive-anchor count (init 100)
+    rng: jax.Array
+
+
+def create_train_state(cfg, model, image_size, seed: int = 0) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    images = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+    params = model.init({"params": init_rng}, images, True)["params"]
+    tx, _ = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        loss_normalizer=jnp.asarray(100.0, jnp.float32),
+        rng=state_rng,
+    )
+
+
+def make_train_step(cfg, model, anchors: jnp.ndarray, mesh=None):
+    """Build the jitted data-parallel train step."""
+    lc = LossConfig.from_config(cfg)
+    tx, schedule = build_optimizer(cfg, None)  # mask computed lazily below
+
+    # build_optimizer needs params for the decay mask; rebuild inside a
+    # closure on first trace instead (mask depends only on tree structure).
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, dropout_rng, loss_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params},
+                batch["images"],
+                False,  # dropout active during training (model.train())
+                rngs={"dropout": dropout_rng},
+            )
+            losses, new_norm = compute_losses(
+                loss_rng,
+                outputs,
+                anchors,
+                batch["gt_boxes"],
+                batch["gt_classes"].astype(jnp.int32),
+                batch["gt_valid"],
+                state.loss_normalizer,
+                state.step,
+                lc,
+            )
+            total = losses["loss_cls"] + losses["loss_box_reg"]
+            return total, (losses, new_norm)
+
+        (total, (losses, new_norm)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["lr"] = schedule(state.step)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            loss_normalizer=new_norm,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    if mesh is not None:
+        rep = replicated(mesh)
+        shard = data_sharding(mesh)
+        batch_shardings = {
+            "images": shard, "gt_boxes": shard, "gt_classes": shard,
+            "gt_valid": shard,
+        }
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, batch_shardings),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+TRAIN_BATCH_KEYS = ("images", "gt_boxes", "gt_classes", "gt_valid")
+
+
+def select_train_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Keep only the arrays the jitted step consumes (loader batches carry
+    eval-side metadata too)."""
+    return {k: batch[k] for k in TRAIN_BATCH_KEYS}
+
+
+class Trainer:
+    """Host-side training driver (reference: Trainer(DefaultTrainer),
+    train_net.py:18-59)."""
+
+    def __init__(self, cfg, mesh=None, dataset=None, canvas=None):
+        self.cfg = cfg
+        self.logger = setup_logger(name="pod_compare_tpu.trainer")
+        self.mesh = mesh if mesh is not None else create_mesh(
+            cfg.PARALLEL.NUM_DEVICES
+        )
+        self.model = build_model(cfg)
+
+        dataset = dataset or get_dataset(cfg.DATASETS.TRAIN[0])
+        min_size = cfg.INPUT.MIN_SIZE_TRAIN[0]
+        self.loader = TrainLoader(
+            dataset,
+            batch_size=cfg.SOLVER.IMS_PER_BATCH,
+            min_size=min_size,
+            max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+            divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+            seed=max(cfg.SEED, 0),
+            canvas=canvas,
+        )
+        self.canvas = self.loader.canvas
+        gen = build_anchor_generator(cfg)
+        self.anchors = jnp.asarray(gen.concatenated(self.canvas))
+        self.logger.info(
+            f"canvas={self.canvas} anchors={self.anchors.shape[0]} "
+            f"devices={self.mesh.devices.size}"
+        )
+
+        self.state = create_train_state(
+            cfg, self.model, self.canvas, seed=max(cfg.SEED, 0)
+        )
+        self.train_step = make_train_step(cfg, self.model, self.anchors, self.mesh)
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+        self.storage = EventStorage(cfg.OUTPUT_DIR)
+
+    def resume_or_load(self, resume: bool = False) -> None:
+        self.state, resumed = resume_or_load(self.checkpointer, self.state, resume)
+        if resumed:
+            self.logger.info(f"Resumed from step {int(self.state.step)}")
+
+    def train(self, max_iter: Optional[int] = None, log_period: int = 20) -> None:
+        cfg = self.cfg
+        max_iter = max_iter if max_iter is not None else cfg.SOLVER.MAX_ITER
+        start = int(self.state.step)
+        data_iter = iter(self.loader)
+        self.logger.info(f"Starting training from iteration {start}")
+        t0 = time.time()
+        for it in range(start, max_iter):
+            batch = select_train_batch(next(data_iter))
+            self.state, metrics = self.train_step(self.state, batch)
+            self.storage.iter = it
+            if (it + 1) % log_period == 0 or it == max_iter - 1:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["iter_time"] = (time.time() - t0) / log_period
+                t0 = time.time()
+                self.storage.put_scalars(**host)
+                self.storage.write()
+                self.logger.info(
+                    f"iter {it + 1}/{max_iter} "
+                    + " ".join(f"{k}={v:.4g}" for k, v in sorted(host.items()))
+                )
+            if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or it == max_iter - 1:
+                self.checkpointer.save(it + 1, self.state._asdict())
+        self.checkpointer.wait()
+        self.logger.info("Training done.")
