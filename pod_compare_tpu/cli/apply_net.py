@@ -1,0 +1,149 @@
+"""Probabilistic inference CLI (reference: src/apply_net.py).
+
+Usage:
+    python -m pod_compare_tpu.cli.apply_net \
+        --config-file BDD-Detection/retinanet/retinanet_R_50_FPN_1x_reg_cls_var.yaml \
+        --inference-config Inference/bayes_od.yaml \
+        --test-dataset bdd_val --dataset-dir /path/to/bdd --random-seed 0
+
+Differences from the reference (all TPU-motivated, SURVEY.md §2.3): the
+reference pins inference to batch=1 on one GPU to "simulate deployment"
+(apply_net.py:31-35); here inference is batched and fully device-resident,
+with `--batch-size` (images/sec/chip is the bench metric either way).
+"""
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from pod_compare_tpu.config import setup_arg_parser, setup_config
+from pod_compare_tpu.data.datasets import get_dataset
+from pod_compare_tpu.data.loader import TestLoader
+from pod_compare_tpu.evaluation.average_precision import evaluate_average_precision
+from pod_compare_tpu.evaluation.calibration_errors import evaluate_calibration_errors
+from pod_compare_tpu.evaluation.category_mapping import model_to_dataset_id_map
+from pod_compare_tpu.evaluation.probabilistic_metrics import (
+    evaluate_probabilistic_metrics,
+)
+from pod_compare_tpu.inference.core import Detections
+from pod_compare_tpu.inference.postprocess import detections_to_json
+from pod_compare_tpu.inference.predictor import build_predictor
+from pod_compare_tpu.models import build_model, init_model_params
+from pod_compare_tpu.train.checkpoint import load_ensemble_params, load_params
+from pod_compare_tpu.utils.logging import setup_logger
+
+
+def load_predictor_params(cfg):
+    """Load single-model or seed-sibling ensemble parameters
+    (reference: probabilistic_inference.py:44-84)."""
+    if cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE == "ensembles":
+        seeds = cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.RANDOM_SEED_NUMS
+        return None, load_ensemble_params(cfg.OUTPUT_DIR, seeds, None)
+    return load_params(cfg.OUTPUT_DIR), None
+
+
+def run_inference(
+    cfg,
+    test_dataset: str,
+    inference_name: str,
+    batch_size: int = 8,
+    resume: bool = True,
+    run_metrics: bool = True,
+    run_map: bool = True,
+    params=None,
+    params_list=None,
+    verbose: bool = True,
+):
+    """Run the full inference + evaluation pipeline; returns a summary dict."""
+    logger = setup_logger(name="pod_compare_tpu.apply_net")
+    inference_output_dir = os.path.join(
+        cfg.OUTPUT_DIR, "inference", test_dataset, inference_name
+    )
+    os.makedirs(inference_output_dir, exist_ok=True)
+
+    dataset = get_dataset(test_dataset)
+    loader = TestLoader(
+        dataset,
+        batch_size=batch_size,
+        min_size=cfg.INPUT.MIN_SIZE_TEST,
+        max_size=cfg.INPUT.MAX_SIZE_TEST,
+        divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+    )
+    canvas = loader.canvas
+
+    if params is None and params_list is None:
+        params, params_list = load_predictor_params(cfg)
+    predictor = build_predictor(cfg, canvas, params, params_list)
+
+    train_dataset = cfg.DATASETS.TRAIN[0]
+    cat_mapping = model_to_dataset_id_map(train_dataset, test_dataset)
+
+    rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+    results = []
+    num_images = 0
+    start = time.time()
+    for batch in loader:
+        rng, key = jax.random.split(rng)
+        dets = predictor(
+            batch["images"], batch["input_sizes"], batch["output_sizes"], key
+        )
+        dets_np = jax.tree_util.tree_map(np.asarray, dets)
+        for b in range(batch["images"].shape[0]):
+            if not batch["batch_valid"][b]:
+                continue
+            per_image = Detections(*[f[b] for f in dets_np])
+            results.extend(
+                detections_to_json(
+                    per_image, int(batch["image_ids"][b]), cat_mapping
+                )
+            )
+            num_images += 1
+    elapsed = time.time() - start
+    logger.info(
+        f"Inference on {num_images} images in {elapsed:.1f}s "
+        f"({num_images / max(elapsed, 1e-9):.2f} img/s)"
+    )
+
+    with open(
+        os.path.join(inference_output_dir, "coco_instances_results.json"), "w"
+    ) as f:
+        json.dump(results, f)
+
+    summary = {
+        "num_images": num_images,
+        "images_per_second": num_images / max(elapsed, 1e-9),
+        "inference_output_dir": inference_output_dir,
+    }
+    if run_map:
+        stats, threshold = evaluate_average_precision(
+            inference_output_dir, test_dataset, verbose=verbose
+        )
+        summary["mAP"] = float(stats[0])
+        summary["AP50"] = float(stats[1])
+        summary["optimal_score_threshold"] = threshold
+    if run_metrics:
+        summary["probabilistic_metrics"] = evaluate_probabilistic_metrics(
+            inference_output_dir, test_dataset, train_dataset, verbose=verbose
+        )
+        summary["calibration_errors"] = evaluate_calibration_errors(
+            inference_output_dir, test_dataset, train_dataset, verbose=verbose
+        )
+    return summary
+
+
+def main(args, batch_size: int = 8):
+    cfg = setup_config(args, random_seed=args.random_seed, is_testing=True)
+    inference_name = os.path.splitext(os.path.basename(args.inference_config))[0]
+    test_dataset = args.test_dataset or cfg.DATASETS.TEST[0]
+    return run_inference(cfg, test_dataset, inference_name, batch_size=batch_size)
+
+
+if __name__ == "__main__":
+    parser = setup_arg_parser()
+    parser.add_argument("--batch-size", type=int, default=8)
+    args = parser.parse_args()
+    print("Command Line Args:", args)
+    main(args, batch_size=args.batch_size)

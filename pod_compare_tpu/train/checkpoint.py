@@ -53,7 +53,9 @@ class Checkpointer:
         if step is None:
             raise FileNotFoundError(f"No checkpoint found in {self.directory}")
         if state_template is None:
-            return self._manager.restore(step)
+            return self._manager.restore(
+                step, args=ocp.args.StandardRestore()
+            )
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, state_template
         )

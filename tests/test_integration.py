@@ -1,0 +1,95 @@
+"""End-to-end integration: train briefly on synthetic data, checkpoint,
+run the apply_net pipeline (inference → COCO json → mAP → probabilistic +
+calibration metrics) — the reference's full L2→L7 chain (SURVEY.md §3.2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pod_compare_tpu.config import get_cfg
+from pod_compare_tpu.data.synthetic import register_synthetic
+
+
+@pytest.fixture(scope="module")
+def trained_setup(tmp_path_factory):
+    from pod_compare_tpu.parallel.mesh import create_mesh
+    from pod_compare_tpu.train.trainer import Trainer
+
+    root = str(tmp_path_factory.mktemp("synth"))
+    name = register_synthetic(root, "synth_e2e", num_images=8, image_size=(64, 80))
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 3
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 2
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 30
+    cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 64
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.BASE_LR = 1e-5
+    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.STEPS = (100, 200)
+    cfg.SOLVER.CHECKPOINT_PERIOD = 4
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("out"))
+    cfg.SEED = 0
+
+    trainer = Trainer(cfg, mesh=create_mesh(2))
+    trainer.train(max_iter=4, log_period=2)
+    trainer.checkpointer.wait()
+    return cfg, name
+
+
+def test_apply_net_pipeline(trained_setup):
+    from pod_compare_tpu.cli.apply_net import run_inference
+
+    cfg, name = trained_setup
+    summary = run_inference(
+        cfg, name, "standard_nms", batch_size=2, verbose=False
+    )
+    out_dir = summary["inference_output_dir"]
+    assert os.path.isfile(os.path.join(out_dir, "coco_instances_results.json"))
+    assert os.path.isfile(os.path.join(out_dir, "mAP_res.txt"))
+    assert summary["num_images"] == 8
+    assert "mAP" in summary
+    pm = summary["probabilistic_metrics"]
+    assert pm["num_true_positives"] + pm["num_false_positives"] >= 0
+    ce = summary["calibration_errors"]
+    assert set(ce) >= {
+        "cls_marginal_calibration_error", "reg_expected_calibration_error",
+        "cls_min_uncertainty_error", "reg_min_uncertainty_error",
+    }
+    # matched-results cache written
+    assert any(
+        f.startswith("matched_results") for f in os.listdir(out_dir)
+    )
+
+
+def test_apply_net_bayes_od(trained_setup):
+    from pod_compare_tpu.cli.apply_net import run_inference
+    from pod_compare_tpu.config import get_cfg as _unused  # noqa
+
+    cfg, name = trained_setup
+    cfg2 = cfg.clone()
+    cfg2.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "bayes_od"
+    cfg2.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
+    cfg2.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "max_score"
+    summary = run_inference(
+        cfg2, name, "bayes_od", batch_size=2, run_metrics=False, verbose=False
+    )
+    with open(
+        os.path.join(summary["inference_output_dir"], "coco_instances_results.json")
+    ) as f:
+        results = json.load(f)
+    for r in results[:5]:
+        assert len(r["cls_prob"]) == 3
+        cov = np.asarray(r["bbox_covar"])
+        assert cov.shape == (4, 4)
+        assert np.isfinite(cov).all()
