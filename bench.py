@@ -1,0 +1,106 @@
+"""Benchmark harness — BDD-val-geometry inference throughput per chip.
+
+Primary metric (BASELINE.json): images/sec/chip for BayesOD + MC-dropout
+(10 stochastic head passes, 1000-sample MVN box decode, on-device Bayesian
+fusion) at BDD input geometry (720x1280 resized, padded to 736x1280).
+
+Synthetic input images are used (raw BDD is not distributable with the
+repo); throughput is input-content independent for this model. The
+`vs_baseline` denominator is the reference's deployment-mode throughput
+(single GPU, batch 1, apply_net.py:31-35) — no published number exists
+(BASELINE.md), so a measured-order estimate of 4.0 img/s is used until a
+side-by-side run replaces it.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference throughput (img/s) for BayesOD+MC-dropout, batch-1
+# single-GPU deployment mode. See module docstring.
+REFERENCE_BASELINE_IMG_PER_S = 4.0
+
+BDD_CANVAS = (736, 1280)  # 720x1280 resized + padded to stride 32
+BATCH_SIZE = 4
+WARMUP_ITERS = 2
+MEASURE_ITERS = 8
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.inference.predictor import build_predictor
+    from pod_compare_tpu.models import build_model, init_model_params
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 7
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.2
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 10
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 1000
+    # BayesOD + MC-dropout (configs/Inference/bayes_od_mc_dropout.yaml)
+    cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "bayes_od"
+    cfg.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
+    cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = True
+    cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 10
+    cfg.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "max_score"
+    cfg.PROBABILISTIC_INFERENCE.BAYES_OD.BOX_MERGE_MODE = "bayesian_inference"
+
+    log(f"devices: {jax.devices()}")
+    log(f"building model at canvas {BDD_CANVAS}, batch {BATCH_SIZE}")
+    model = build_model(cfg)
+    params = init_model_params(model, BDD_CANVAS, seed=0)
+    predictor = build_predictor(cfg, BDD_CANVAS, params=params)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(BATCH_SIZE, *BDD_CANVAS, 3) * 255, jnp.float32
+    )
+    input_sizes = np.tile(np.array([720.0, 1280.0], np.float32), (BATCH_SIZE, 1))
+    output_sizes = np.tile(np.array([720.0, 1280.0], np.float32), (BATCH_SIZE, 1))
+
+    key = jax.random.PRNGKey(0)
+    log("compiling + warmup...")
+    t0 = time.time()
+    for i in range(WARMUP_ITERS):
+        dets = predictor(images, input_sizes, output_sizes, key)
+    jax.block_until_ready(dets.boxes)
+    log(f"warmup done in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(MEASURE_ITERS):
+        key, sub = jax.random.split(key)
+        dets = predictor(images, input_sizes, output_sizes, sub)
+    jax.block_until_ready(dets.boxes)
+    elapsed = time.time() - t0
+    img_per_s = BATCH_SIZE * MEASURE_ITERS / elapsed
+    log(
+        f"{MEASURE_ITERS} iters x batch {BATCH_SIZE} in {elapsed:.2f}s "
+        f"-> {img_per_s:.2f} img/s/chip"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "BDD val images/sec/chip (BayesOD+MC-dropout)",
+                "value": round(img_per_s, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_s / REFERENCE_BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
