@@ -25,9 +25,9 @@ import numpy as np
 REFERENCE_BASELINE_IMG_PER_S = 4.0
 
 BDD_CANVAS = (736, 1280)  # 720x1280 resized + padded to stride 32
-BATCH_SIZE = 4
+BATCH_SIZE = 16  # throughput sweep: 4->15, 8->20, 16->35, 32->33 img/s
 WARMUP_ITERS = 2
-MEASURE_ITERS = 8
+MEASURE_ITERS = 6
 
 
 def log(msg):
