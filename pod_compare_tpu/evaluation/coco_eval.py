@@ -276,7 +276,69 @@ class COCOEvaluator:
                 print(f"{n:>12s} = {v:.4f}")
         return st
 
-    def run(self, verbose: bool = True) -> np.ndarray:
+    # -------------------------------------------------------- native engine
+    def _run_native(self) -> bool:
+        """Evaluate+accumulate through the C++ engine
+        (pod_compare_tpu/native/cocoeval.cpp); returns False when the
+        native library is unavailable."""
+        from pod_compare_tpu import native
+
+        if not native.available():
+            return False
+        img_index = {img_id: i for i, img_id in enumerate(self.img_ids)}
+        cat_index = {cat: i for i, cat in enumerate(self.cat_ids)}
+
+        det_img, det_cat, det_bbox, det_score = [], [], [], []
+        for (img_id, cat), dets in self._dts.items():
+            if img_id not in img_index:
+                continue
+            for d in dets:
+                det_img.append(img_index[img_id])
+                det_cat.append(cat_index[cat])
+                det_bbox.append(d["bbox"])
+                det_score.append(d["score"])
+        gt_img, gt_cat, gt_bbox, gt_area, gt_crowd, gt_ign = [], [], [], [], [], []
+        for (img_id, cat), gts in self._gts.items():
+            if img_id not in img_index:
+                continue
+            for g in gts:
+                gt_img.append(img_index[img_id])
+                gt_cat.append(cat_index[cat])
+                gt_bbox.append(g["bbox"])
+                gt_area.append(g["area"])
+                gt_crowd.append(g["iscrowd"])
+                gt_ign.append(g["ignore"])
+
+        area_rngs = np.asarray(list(AREA_RNGS.values()), np.float64)
+        precision, recall, scores = native.cocoeval_run(
+            np.asarray(det_img, np.int64),
+            np.asarray(det_cat, np.int64),
+            np.asarray(det_bbox, np.float64).reshape(-1, 4),
+            np.asarray(det_score, np.float64),
+            np.asarray(gt_img, np.int64),
+            np.asarray(gt_cat, np.int64),
+            np.asarray(gt_bbox, np.float64).reshape(-1, 4),
+            np.asarray(gt_area, np.float64),
+            np.asarray(gt_crowd, np.uint8),
+            np.asarray(gt_ign, np.uint8),
+            len(self.img_ids),
+            len(self.cat_ids),
+            self.iou_thrs,
+            self.rec_thrs,
+            area_rngs,
+            self.max_dets,
+        )
+        self.eval = {"precision": precision, "recall": recall, "scores": scores}
+        return True
+
+    def run(self, verbose: bool = True, use_native: Optional[bool] = None) -> np.ndarray:
+        """Full evaluation. `use_native=None` auto-selects the C++ engine
+        when built, falling back to the numpy path (both validated against
+        each other in tests)."""
+        if use_native is None:
+            use_native = True
+        if use_native and self._run_native():
+            return self.summarize(verbose)
         self.evaluate()
         self.accumulate()
         return self.summarize(verbose)
