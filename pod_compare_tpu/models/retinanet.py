@@ -130,8 +130,15 @@ class ProbabilisticRetinaNetHead(nn.Module):
         def run_tower(tower_convs, x):
             for conv in tower_convs:
                 x = nn.relu(conv(x))
-                if use_dropout:
-                    x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+                if use_dropout and not deterministic:
+                    # Pallas hardware-PRNG dropout on TPU (threefry mask
+                    # generation dominates MC-dropout inference otherwise);
+                    # standard bernoulli elsewhere.
+                    from pod_compare_tpu.ops.pallas.dropout import dropout
+
+                    x = dropout(
+                        x, self.make_rng("dropout"), self.dropout_rate, False
+                    )
             return x
 
         def flatten(x, k):

@@ -1,0 +1,131 @@
+"""Fused dropout as a Pallas TPU kernel using the hardware PRNG.
+
+MC-dropout is the framework's hottest stochastic op: 10 head passes ×
+8 conv towers × every activation need a dropout mask
+(reference semantics: nn.Dropout in the head subnets,
+probabilistic_retinanet.py:422-424). JAX's default threefry PRNG computes
+those masks in VPU ALU ops and dominates the inference profile (~40% of
+BayesOD+MC-dropout batch time measured on v5e). This kernel draws the mask
+from the TPU's native PRNG (`pltpu.prng_random_bits`) fused with the
+scale-and-select, and replays the same seed in the backward pass so no mask
+is ever materialized in HBM.
+
+Non-TPU backends fall back to standard `jax.random.bernoulli` dropout —
+identical distribution, different stream.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Rows per grid step; lanes fixed by the flattened channel dim.
+_BLOCK_ROWS = 1024
+
+
+def _dropout_kernel(seed_ref, x_ref, out_ref, *, keep_threshold_i32, scale):
+    # Distinct stream per grid row-block: fold the block index into the seed.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.int32)
+    # bits are uniform over the full int32 range; compare in int32 domain to
+    # avoid any unsigned-promotion ambiguity:
+    # P(bits < t) = (t + 2^31) / 2^32  ->  t = keep_prob*2^32 - 2^31.
+    keep = bits < jnp.int32(keep_threshold_i32)
+    out_ref[:] = jnp.where(keep, x_ref[:] * scale, 0).astype(out_ref.dtype)
+
+
+def _run_dropout(x2d: jnp.ndarray, seed: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """x2d: (N, C) with N a multiple of _BLOCK_ROWS."""
+    n, c = x2d.shape
+    keep_prob = 1.0 - rate
+    keep_threshold_i32 = min(
+        int(keep_prob * (1 << 32)) - (1 << 31), (1 << 31) - 1
+    )
+    scale = 1.0 / keep_prob  # python float: compile-time kernel constant
+    grid = n // _BLOCK_ROWS
+    return pl.pallas_call(
+        functools.partial(
+            _dropout_kernel, keep_threshold_i32=keep_threshold_i32, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c), x2d.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_BLOCK_ROWS, c), lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (_BLOCK_ROWS, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )(seed.reshape(1).astype(jnp.int32), x2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hardware_dropout(x: jnp.ndarray, seed: jnp.ndarray, rate: float):
+    """Dropout with TPU-native PRNG; mask replayed (not stored) in bwd.
+
+    Args:
+        x: any shape; the last axis should be lane-friendly (chan dim).
+        seed: int32 scalar — distinct per layer/run (derived from the flax
+            dropout rng).
+        rate: drop probability (static).
+    """
+    return _hw_dropout_fwd(x, seed, rate)[0]
+
+
+def _mask_apply(x, seed, rate):
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    x2d = x.reshape(-1, c)
+    n = x2d.shape[0]
+    pad = (-n) % _BLOCK_ROWS
+    if pad:
+        x2d = jnp.concatenate([x2d, jnp.zeros((pad, c), x2d.dtype)], axis=0)
+    out = _run_dropout(x2d, seed, rate)
+    if pad:
+        out = out[:n]
+    return out.reshape(orig_shape)
+
+
+def _hw_dropout_fwd(x, seed, rate):
+    return _mask_apply(x, seed, rate), seed
+
+
+def _hw_dropout_bwd(rate, seed, g):
+    # Same seed -> same mask; gradient is mask * scale * g.
+    return _mask_apply(g, seed, rate), None
+
+
+hardware_dropout.defvjp(_hw_dropout_fwd, _hw_dropout_bwd)
+
+
+# Measured on v5e (BayesOD+MC-dropout, batch 16, 736x1280): the standalone
+# pallas kernel is numerically correct but LOSES to the XLA-fused threefry
+# path end-to-end (646 vs 457 ms/batch) because the pallas_call boundary
+# breaks producer/consumer fusion and round-trips head activations through
+# HBM. It stays available (`use_hardware_prng=True`) for future work on a
+# fully-fused conv+dropout kernel; the default dispatcher keeps dropout
+# inside the XLA graph.
+def dropout(
+    x: jnp.ndarray,
+    rng: jax.Array,
+    rate: float,
+    deterministic: bool,
+    use_hardware_prng: bool = False,
+) -> jnp.ndarray:
+    """Dropout dispatcher (see the fusion note above)."""
+    if deterministic or rate == 0.0:
+        return x
+    if use_hardware_prng and jax.default_backend() == "tpu":
+        seed = jax.random.randint(
+            rng, (), minval=-(2 ** 31), maxval=2 ** 31 - 1, dtype=jnp.int32
+        )
+        return hardware_dropout(x, seed, rate)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
