@@ -56,6 +56,8 @@ def run_inference(
     params=None,
     params_list=None,
     verbose: bool = True,
+    mesh=None,
+    profile: bool = False,
 ):
     """Run the full inference + evaluation pipeline; returns a summary dict."""
     logger = setup_logger(name="pod_compare_tpu.apply_net")
@@ -76,15 +78,23 @@ def run_inference(
 
     if params is None and params_list is None:
         params, params_list = load_predictor_params(cfg)
-    predictor = build_predictor(cfg, canvas, params, params_list)
+    if mesh is None and cfg.PARALLEL.NUM_DEVICES not in (-1, 1):
+        from pod_compare_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg.PARALLEL.NUM_DEVICES)
+    predictor = build_predictor(cfg, canvas, params, params_list, mesh=mesh)
 
     train_dataset = cfg.DATASETS.TRAIN[0]
     cat_mapping = model_to_dataset_id_map(train_dataset, test_dataset)
+
+    from pod_compare_tpu.utils.profiling import trace
 
     rng = jax.random.PRNGKey(max(cfg.SEED, 0))
     results = []
     num_images = 0
     start = time.time()
+    profile_ctx = trace(inference_output_dir, enabled=profile)
+    profile_ctx.__enter__()
     for batch in loader:
         rng, key = jax.random.split(rng)
         dets = predictor(
@@ -101,6 +111,7 @@ def run_inference(
                 )
             )
             num_images += 1
+    profile_ctx.__exit__(None, None, None)
     elapsed = time.time() - start
     logger.info(
         f"Inference on {num_images} images in {elapsed:.1f}s "
@@ -144,6 +155,7 @@ def main(args, batch_size: int = 8):
 if __name__ == "__main__":
     parser = setup_arg_parser()
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--profile", action="store_true")
     args = parser.parse_args()
     print("Command Line Args:", args)
     main(args, batch_size=args.batch_size)

@@ -151,6 +151,25 @@ class _Prefetcher:
             yield item
 
 
+class _ThreadPool:
+    """Tiny ordered map() thread pool for image decode/resize.
+
+    Replaces the reference's 32 torch dataloader workers
+    (apply_net.py:33-34): cv2 releases the GIL during imread/resize, so
+    a few threads overlap IO+decode with device compute.
+    """
+
+    def __init__(self, num_workers: int):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(num_workers, 1)
+        )
+
+    def map(self, fn, items):
+        return list(self._pool.map(fn, items))
+
+
 class TrainLoader:
     """Infinite shuffled loader with static canvas and padded ground truth
     (reference: build_detection_train_loader, train_net.py:48-59)."""
@@ -166,10 +185,12 @@ class TrainLoader:
         seed: int = 0,
         canvas: Optional[Tuple[int, int]] = None,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.records = [r for r in dataset.load() if r["annotations"]]
         assert self.records, f"Dataset {dataset.name} has no annotated images"
         self.batch_size = batch_size
+        self._pool = _ThreadPool(num_workers)
         self.lc = LoaderConfig(
             min_size=min_size, max_size=max_size, divisibility=divisibility,
             max_gt_boxes=max_gt_boxes, flip=True,
@@ -187,12 +208,16 @@ class TrainLoader:
             while True:
                 order = rng.permutation(len(self.records))
                 for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                    items = [
-                        _prepare_record(
-                            self.records[i], self.lc, self.canvas, rng
-                        )
-                        for i in order[start : start + self.batch_size]
-                    ]
+                    flips = rng.rand(self.batch_size)
+                    items = self._pool.map(
+                        lambda args: _prepare_record(
+                            self.records[args[0]], self.lc, self.canvas,
+                            np.random.RandomState(
+                                int(args[1] * 2 ** 31) & 0x7FFFFFFF
+                            ),
+                        ),
+                        list(zip(order[start : start + self.batch_size], flips)),
+                    )
                     yield _collate(items)
 
         return iter(_Prefetcher(gen, self.prefetch))
@@ -212,8 +237,10 @@ class TestLoader:
         divisibility: int = 32,
         canvas: Optional[Tuple[int, int]] = None,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.records = dataset.load()
+        self._pool = _ThreadPool(num_workers)
         self.batch_size = batch_size
         self.lc = LoaderConfig(
             min_size=min_size, max_size=max_size, divisibility=divisibility,
@@ -237,9 +264,10 @@ class TestLoader:
                 valid[: len(chunk)] = True
                 while len(chunk) < self.batch_size:
                     chunk = chunk + [chunk[-1]]
-                items = [
-                    _prepare_record(r, self.lc, self.canvas, rng) for r in chunk
-                ]
+                items = self._pool.map(
+                    lambda r: _prepare_record(r, self.lc, self.canvas, rng),
+                    chunk,
+                )
                 batch = _collate(items)
                 batch["batch_valid"] = valid
                 yield batch

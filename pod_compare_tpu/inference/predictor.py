@@ -60,9 +60,10 @@ class ProbabilisticPredictor:
             probabilistic_inference.py:59-77).
     """
 
-    def __init__(self, cfg, image_size, params=None, params_list=None):
+    def __init__(self, cfg, image_size, params=None, params_list=None, mesh=None):
         self.cfg = cfg
         self.image_size = tuple(image_size)
+        self.mesh = mesh
         self.model = build_model(cfg)
         gen = build_anchor_generator(cfg)
         self.anchors = jnp.asarray(gen.concatenated(self.image_size))
@@ -260,6 +261,21 @@ class ProbabilisticPredictor:
                 output_sizes[:, 0], output_sizes[:, 1],
             )
 
+        if self.mesh is not None:
+            # Data-parallel inference over the device mesh: batch axis
+            # sharded, params replicated; XLA partitions the whole pipeline
+            # (the per-image vmap splits cleanly — no cross-image
+            # communication exists in any mode). Replaces the reference's
+            # single-GPU pinned inference (apply_net.py:113-114).
+            from pod_compare_tpu.parallel.mesh import data_sharding, replicated
+
+            rep = replicated(self.mesh)
+            shard = data_sharding(self.mesh)
+            return jax.jit(
+                pipeline,
+                in_shardings=(rep, shard, rep, shard, shard),
+                out_shardings=shard,
+            )
         return jax.jit(pipeline)
 
     # ------------------------------------------------------------------ API
@@ -297,12 +313,40 @@ def _ax(x) -> Optional[int]:
     return None if x is None else 0
 
 
+def visualize_inference(
+    image_bgr: np.ndarray,
+    detections,
+    out_path: str,
+    max_boxes: int = 20,
+) -> str:
+    """Debug overlay of the top detections with covariance ellipses
+    (reference: ProbabilisticPredictor.visualize_inference,
+    probabilistic_inference.py:113-146 — writes a png instead of cv2
+    windows).
+
+    Args:
+        image_bgr: (H, W, 3) uint8/float image in the detection frame.
+        detections: single-image Detections (host arrays).
+    """
+    import cv2
+
+    from pod_compare_tpu.visualization.visualizer import ProbabilisticVisualizer
+
+    valid = np.asarray(detections.valid)
+    boxes = np.asarray(detections.boxes)[valid][:max_boxes]
+    covs = np.asarray(detections.covs)[valid][:max_boxes]
+    vis = ProbabilisticVisualizer(np.asarray(image_bgr, np.uint8))
+    vis.overlay_covariance_instances(boxes, covs)
+    cv2.imwrite(out_path, vis.get_image())
+    return out_path
+
+
 def _ax1(x) -> Optional[int]:
     return None if x is None else 1
 
 
 def build_predictor(
-    cfg, image_size, params=None, params_list=None
+    cfg, image_size, params=None, params_list=None, mesh=None
 ) -> ProbabilisticPredictor:
     """Dispatch mirroring the reference's `build_predictor`
     (probabilistic_inference.py:20-33)."""
@@ -310,7 +354,7 @@ def build_predictor(
         "ProbabilisticRetinaNet",
         "RetinaNet",
     ):
-        return ProbabilisticPredictor(cfg, image_size, params, params_list)
+        return ProbabilisticPredictor(cfg, image_size, params, params_list, mesh)
     raise ValueError(
         f"Invalid meta-architecture {cfg.MODEL.META_ARCHITECTURE}."
     )

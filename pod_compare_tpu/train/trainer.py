@@ -178,14 +178,32 @@ class Trainer:
         if resumed:
             self.logger.info(f"Resumed from step {int(self.state.step)}")
 
-    def train(self, max_iter: Optional[int] = None, log_period: int = 20) -> None:
+    def train(
+        self,
+        max_iter: Optional[int] = None,
+        log_period: int = 20,
+        profile_iters: Optional[tuple] = None,
+    ) -> None:
+        """Run the training loop; `profile_iters=(start, stop)` captures an
+        XLA profiler trace over that iteration window (SURVEY.md §5.1 —
+        the reference has no profiler)."""
+        from pod_compare_tpu.utils.profiling import trace
+
         cfg = self.cfg
         max_iter = max_iter if max_iter is not None else cfg.SOLVER.MAX_ITER
         start = int(self.state.step)
         data_iter = iter(self.loader)
         self.logger.info(f"Starting training from iteration {start}")
+        profile_ctx = None
         t0 = time.time()
         for it in range(start, max_iter):
+            if profile_iters is not None:
+                if it == profile_iters[0]:
+                    profile_ctx = trace(cfg.OUTPUT_DIR, enabled=True)
+                    profile_ctx.__enter__()
+                elif it == profile_iters[1] and profile_ctx is not None:
+                    profile_ctx.__exit__(None, None, None)
+                    profile_ctx = None
             batch = select_train_batch(next(data_iter))
             self.state, metrics = self.train_step(self.state, batch)
             self.storage.iter = it

@@ -1,0 +1,65 @@
+"""Data-parallel (mesh-sharded) inference must match the single-device
+pipeline bit-for-bit on deterministic modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pod_compare_tpu.config import get_cfg
+from pod_compare_tpu.inference import build_predictor
+from pod_compare_tpu.models import build_model, init_model_params
+from pod_compare_tpu.parallel.mesh import create_mesh
+
+IMAGE_SIZE = (32, 32)
+BATCH = 4
+
+
+def make_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 5
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 2
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 20
+    cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_sharded_matches_single_device():
+    cfg = make_cfg()
+    model = build_model(cfg)
+    params = init_model_params(model, IMAGE_SIZE, seed=0)
+
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(BATCH, *IMAGE_SIZE, 3) * 255, jnp.float32
+    )
+    sizes = np.tile(np.asarray(IMAGE_SIZE, np.float32), (BATCH, 1))
+    key = jax.random.PRNGKey(0)
+
+    single = build_predictor(cfg, IMAGE_SIZE, params=params)
+    d_single = single(images, sizes, sizes, key)
+
+    mesh = create_mesh(4)
+    sharded = build_predictor(cfg, IMAGE_SIZE, params=params, mesh=mesh)
+    d_sharded = sharded(images, sizes, sizes, key)
+
+    v1 = np.asarray(d_single.valid)
+    v2 = np.asarray(d_sharded.valid)
+    np.testing.assert_array_equal(v1, v2)
+    assert v1.any()
+    # compare valid detections only (padded slots hold unmasked garbage)
+    np.testing.assert_allclose(
+        np.asarray(d_single.boxes)[v1], np.asarray(d_sharded.boxes)[v2],
+        atol=5e-3,  # partitioned compile reassociates float reductions
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_single.scores)[v1], np.asarray(d_sharded.scores)[v2],
+        atol=1e-4,
+    )
+    # outputs are actually sharded over the mesh
+    shard_devices = {
+        s.device for s in d_sharded.boxes.addressable_shards
+    }
+    assert len(shard_devices) == 4
