@@ -111,8 +111,20 @@ def match_predictions_to_groundtruth(
     gts: Dict[int, Dict[str, np.ndarray]],
     iou_min: float = 0.1,
     iou_correct: float = 0.7,
+    use_native: bool = None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Partition detections (reference: evaluation_utils.py:191-367)."""
+    """Partition detections (reference: evaluation_utils.py:191-367).
+
+    `use_native=None` auto-selects the C++ matching engine
+    (pod_compare_tpu/native/match_engine.cpp) when built; both paths are
+    equivalence-tested.
+    """
+    if use_native is None:
+        from pod_compare_tpu import native
+
+        use_native = native.available()
+    if use_native:
+        return _match_native(preds, gts, iou_min, iou_correct)
     parts = _empty_partitions()
 
     def add(part, **arrays):
@@ -213,6 +225,83 @@ def match_predictions_to_groundtruth(
             )
             for k in empty_shapes
         }
+    return out
+
+
+def _match_native(
+    preds: Dict[int, Dict[str, np.ndarray]],
+    gts: Dict[int, Dict[str, np.ndarray]],
+    iou_min: float,
+    iou_correct: float,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Flatten per-image dicts, run the C++ engine, gather payloads.
+
+    Mirrors the python path exactly, including the reference's quirk that
+    images with no predictions are skipped entirely (their gt never counts
+    as FN — evaluation_utils.py:223)."""
+    from pod_compare_tpu import native
+
+    img_ids = list(preds.keys())
+    det_boxes, det_scores, det_probs, det_covs = [], [], [], []
+    gt_boxes, gt_cats = [], []
+    det_off, gt_off = [0], [0]
+    for img in img_ids:
+        p = preds[img]
+        det_boxes.append(p["boxes"])
+        det_scores.append(p["probs"].max(axis=1))
+        det_probs.append(p["probs"])
+        det_covs.append(p["covs"])
+        det_off.append(det_off[-1] + len(p["boxes"]))
+        g = gts.get(img)
+        if g is None:
+            gt_off.append(gt_off[-1])
+        else:
+            gt_boxes.append(g["boxes"])
+            gt_cats.append(g["cats"])
+            gt_off.append(gt_off[-1] + len(g["boxes"]))
+
+    def cat(parts, empty_shape):
+        return np.concatenate(parts) if parts else np.zeros(empty_shape)
+
+    det_boxes = cat(det_boxes, (0, 4))
+    det_scores = cat(det_scores, (0,))
+    det_probs = cat(det_probs, (0, 0))
+    det_covs = cat(det_covs, (0, 4, 4))
+    gt_boxes_f = cat(gt_boxes, (0, 4))
+    gt_cats_f = cat(gt_cats, (0,)).astype(np.int64)
+
+    res = native.match_engine_run(
+        det_boxes, det_scores, gt_boxes_f,
+        np.asarray(det_off, np.int64), np.asarray(gt_off, np.int64),
+        iou_min, iou_correct,
+    )
+
+    def det_fields(idx):
+        return {
+            "predicted_box_means": det_boxes[idx],
+            "predicted_cls_probs": det_probs[idx],
+            "predicted_box_covariances": det_covs[idx],
+        }
+
+    out = {
+        "true_positives": {
+            **det_fields(res["tp_det"]),
+            "gt_box_means": gt_boxes_f[res["tp_gt"]],
+            "gt_cat_idxs": gt_cats_f[res["tp_gt"]],
+            "iou_with_ground_truth": res["tp_iou"],
+        },
+        "duplicates": {
+            **det_fields(res["dup_det"]),
+            "gt_box_means": gt_boxes_f[res["dup_gt"]],
+            "gt_cat_idxs": gt_cats_f[res["dup_gt"]],
+            "iou_with_ground_truth": res["dup_iou"],
+        },
+        "false_positives": det_fields(res["fp_det"]),
+        "false_negatives": {
+            "gt_box_means": gt_boxes_f[res["fn_gt"]],
+            "gt_cat_idxs": gt_cats_f[res["fn_gt"]],
+        },
+    }
     return out
 
 

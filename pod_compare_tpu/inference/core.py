@@ -64,6 +64,7 @@ class Candidates(NamedTuple):
     classes: jnp.ndarray  # (C,) int32
     prob_vectors: jnp.ndarray  # (C, K)
     valid: jnp.ndarray  # (C,)
+    anchor_idx: jnp.ndarray = None  # (C,) source anchor of each candidate
 
 
 def classification_probs(
@@ -167,4 +168,5 @@ def probabilistic_inference_core(
         classes=sel_classes,
         prob_vectors=sel_probs,
         valid=valid,
+        anchor_idx=top_idx.astype(jnp.int32),
     )

@@ -25,6 +25,8 @@ def _load() -> Optional[ctypes.CDLL]:
 
         _LIB = ctypes.CDLL(build())
         _LIB.cocoeval_run.restype = ctypes.c_int
+        _LIB.match_engine_run.restype = ctypes.c_int
+        _LIB.match_engine_fetch.restype = ctypes.c_int
     except Exception:
         _LOAD_FAILED = True
         _LIB = None
@@ -86,3 +88,60 @@ def cocoeval_run(
     )
     assert ret == 0
     return precision, recall, scores
+
+
+def match_engine_run(
+    det_boxes, det_scores, gt_boxes, det_off, gt_off,
+    iou_min: float, iou_correct: float,
+):
+    """Run the C++ matching engine.
+
+    Returns dict of index arrays: tp_det, tp_gt, tp_iou, dup_det, dup_gt,
+    dup_iou, fp_det, fn_gt — indices into the flat det/gt arrays.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    holders = []
+
+    def p(arr, dtype):
+        a = np.ascontiguousarray(arr, dtype=dtype)
+        holders.append(a)
+        return a.ctypes.data_as(
+            ctypes.POINTER(np.ctypeslib.as_ctypes_type(dtype))
+        )
+
+    counts = np.zeros(4, np.int64)
+    num_images = len(det_off) - 1
+    ret = lib.match_engine_run(
+        p(det_boxes, np.float64), p(det_scores, np.float64),
+        p(gt_boxes, np.float64),
+        p(det_off, np.int64), p(gt_off, np.int64),
+        ctypes.c_int64(num_images),
+        ctypes.c_double(iou_min), ctypes.c_double(iou_correct),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    assert ret == 0
+    n_tp, n_dup, n_fp, n_fn = [int(c) for c in counts]
+    out = {
+        "tp_det": np.zeros(n_tp, np.int64),
+        "tp_gt": np.zeros(n_tp, np.int64),
+        "tp_iou": np.zeros(n_tp, np.float64),
+        "dup_det": np.zeros(n_dup, np.int64),
+        "dup_gt": np.zeros(n_dup, np.int64),
+        "dup_iou": np.zeros(n_dup, np.float64),
+        "fp_det": np.zeros(n_fp, np.int64),
+        "fn_gt": np.zeros(n_fn, np.int64),
+    }
+    ret = lib.match_engine_fetch(
+        *[
+            out[k].ctypes.data_as(
+                ctypes.POINTER(
+                    ctypes.c_double if out[k].dtype == np.float64 else ctypes.c_int64
+                )
+            )
+            for k in ["tp_det", "tp_gt", "tp_iou", "dup_det", "dup_gt",
+                      "dup_iou", "fp_det", "fn_gt"]
+        ]
+    )
+    assert ret == 0
+    return out
