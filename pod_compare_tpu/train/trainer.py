@@ -219,5 +219,40 @@ class Trainer:
                 )
             if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or it == max_iter - 1:
                 self.checkpointer.save(it + 1, self.state._asdict())
+            if (
+                cfg.TEST.EVAL_PERIOD > 0
+                and (it + 1) % cfg.TEST.EVAL_PERIOD == 0
+            ):
+                self.test()
         self.checkpointer.wait()
         self.logger.info("Training done.")
+
+    def test(self, test_dataset: Optional[str] = None, batch_size: int = 8):
+        """Evaluate the CURRENT params on the test dataset with standard
+        NMS + COCO mAP (reference: Trainer.build_evaluator + Trainer.test,
+        train_net.py:20-32,73-75)."""
+        from pod_compare_tpu.cli.apply_net import run_inference
+
+        cfg = self.cfg.clone().defrost()
+        cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
+        test_dataset = test_dataset or cfg.DATASETS.TEST[0]
+        summary = run_inference(
+            cfg,
+            test_dataset,
+            f"eval_iter_{int(self.state.step)}",
+            batch_size=batch_size,
+            params=jax.device_get(self.state.params),
+            run_metrics=False,
+            run_map=True,
+            verbose=False,
+        )
+        self.storage.put_scalars(
+            **{"eval/mAP": summary.get("mAP", float("nan")),
+               "eval/AP50": summary.get("AP50", float("nan"))}
+        )
+        self.storage.write()
+        self.logger.info(
+            f"eval @ iter {int(self.state.step)}: "
+            f"mAP={summary.get('mAP'):.4f} AP50={summary.get('AP50'):.4f}"
+        )
+        return summary

@@ -93,3 +93,18 @@ def test_apply_net_bayes_od(trained_setup):
         cov = np.asarray(r["bbox_covar"])
         assert cov.shape == (4, 4)
         assert np.isfinite(cov).all()
+
+
+def test_trainer_test_hook(trained_setup):
+    """Trainer.test evaluates current params with standard NMS + COCO mAP
+    (reference DefaultTrainer eval path)."""
+    from pod_compare_tpu.parallel.mesh import create_mesh
+    from pod_compare_tpu.train.trainer import Trainer
+
+    cfg, name = trained_setup
+    trainer = Trainer(cfg, mesh=create_mesh(2))
+    trainer.resume_or_load(resume=True)
+    assert int(trainer.state.step) == 4
+    summary = trainer.test(batch_size=2)
+    assert "mAP" in summary
+    assert summary["num_images"] == 8
