@@ -162,6 +162,11 @@ class ProbabilisticPredictor:
             return outs, True
         feats = model.apply({"params": params}, images, method="backbone")
         if self.mc_enabled and self.num_runs > 1:
+            # Full head vmapped over dropout keys. Two structurally
+            # "cheaper" variants measured SLOWER on v5e (shared-first-conv
+            # python loop: 652 ms/batch; shared-prefix + vmapped rest:
+            # 611 ms/batch; this: 457 ms/batch) — XLA's batched lowering of
+            # the plain vmap fuses backbone-output -> head conv best.
             keys = jax.random.split(rng, self.num_runs)
             outs = jax.vmap(
                 lambda k: model.apply(

@@ -52,111 +52,94 @@ class ProbabilisticRetinaNetHead(nn.Module):
     channels: int = 256
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self, features: Sequence[jnp.ndarray], deterministic: bool = True
-    ) -> Dict[str, Optional[jnp.ndarray]]:
+    def setup(self):
         normal01 = nn.initializers.normal(stddev=0.01)
 
-        def tower(prefix):
-            return [
-                nn.Conv(
-                    self.channels,
-                    (3, 3),
-                    padding=[(1, 1), (1, 1)],
-                    kernel_init=normal01,
-                    bias_init=nn.initializers.zeros,
-                    dtype=self.dtype,
-                    name=f"{prefix}_conv{i}",
-                )
-                for i in range(self.num_convs)
-            ]
+        def conv3(features, kernel_init, bias_init):
+            return nn.Conv(
+                features,
+                (3, 3),
+                padding=[(1, 1), (1, 1)],
+                kernel_init=kernel_init,
+                bias_init=bias_init,
+                dtype=self.dtype,
+            )
 
-        cls_tower = tower("cls_subnet")
-        box_tower = tower("bbox_subnet")
+        # Individual attributes keep the reference-compatible param names
+        # (cls_subnet_conv{i}, ...) used by the checkpoint converter.
+        for i in range(self.num_convs):
+            setattr(
+                self, f"cls_subnet_conv{i}",
+                conv3(self.channels, normal01, nn.initializers.zeros),
+            )
+            setattr(
+                self, f"bbox_subnet_conv{i}",
+                conv3(self.channels, normal01, nn.initializers.zeros),
+            )
 
         # Output convs. Bias/weight init replicates the reference:
         # cls_score bias = -log((1-p)/p); cls_var bias = -10 (tiny initial
         # variance); bbox_cov weights std 1e-4
         # (probabilistic_retinanet.py:443-484).
         prior_bias = -math.log((1.0 - self.prior_prob) / self.prior_prob)
-        cls_score = nn.Conv(
-            self.num_anchors * self.num_classes,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            kernel_init=normal01,
-            bias_init=nn.initializers.constant(prior_bias),
-            dtype=self.dtype,
-            name="cls_score",
+        self.cls_score = conv3(
+            self.num_anchors * self.num_classes, normal01,
+            nn.initializers.constant(prior_bias),
         )
-        bbox_pred = nn.Conv(
-            self.num_anchors * 4,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
-            kernel_init=normal01,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="bbox_pred",
+        self.bbox_pred = conv3(
+            self.num_anchors * 4, normal01, nn.initializers.zeros
         )
-        cls_var = (
-            nn.Conv(
-                self.num_anchors * self.num_classes,
-                (3, 3),
-                padding=[(1, 1), (1, 1)],
-                kernel_init=normal01,
-                bias_init=nn.initializers.constant(-10.0),
-                dtype=self.dtype,
-                name="cls_var",
+        if self.compute_cls_var:
+            self.cls_var = conv3(
+                self.num_anchors * self.num_classes, normal01,
+                nn.initializers.constant(-10.0),
             )
-            if self.compute_cls_var
-            else None
-        )
-        bbox_cov = (
-            nn.Conv(
+        if self.compute_bbox_cov:
+            self.bbox_cov = conv3(
                 self.num_anchors * self.bbox_cov_dims,
-                (3, 3),
-                padding=[(1, 1), (1, 1)],
-                kernel_init=nn.initializers.normal(stddev=0.0001),
-                bias_init=nn.initializers.zeros,
-                dtype=self.dtype,
-                name="bbox_cov",
+                nn.initializers.normal(stddev=0.0001),
+                nn.initializers.zeros,
             )
-            if self.compute_bbox_cov
-            else None
-        )
 
-        use_dropout = self.dropout_rate > 0.0
+    def _tower(self, prefix: str):
+        return [
+            getattr(self, f"{prefix}_conv{i}") for i in range(self.num_convs)
+        ]
 
-        def run_tower(tower_convs, x):
-            for conv in tower_convs:
+    def _dropout(self, x):
+        # Threefry dropout stays inside the XLA graph (see
+        # ops/pallas/dropout.py for the fusion measurement).
+        from pod_compare_tpu.ops.pallas.dropout import dropout
+
+        return dropout(x, self.make_rng("dropout"), self.dropout_rate, False)
+
+    def _run_tower(self, convs, x, deterministic: bool, skip_first: bool = False):
+        use_dropout = self.dropout_rate > 0.0 and not deterministic
+        for i, conv in enumerate(convs):
+            if not (skip_first and i == 0):
                 x = nn.relu(conv(x))
-                if use_dropout and not deterministic:
-                    # Pallas hardware-PRNG dropout on TPU (threefry mask
-                    # generation dominates MC-dropout inference otherwise);
-                    # standard bernoulli elsewhere.
-                    from pod_compare_tpu.ops.pallas.dropout import dropout
+            if use_dropout:
+                x = self._dropout(x)
+        return x
 
-                    x = dropout(
-                        x, self.make_rng("dropout"), self.dropout_rate, False
-                    )
-            return x
+    def _flatten(self, x, k):
+        # (N, H, W, A*k) -> (N, H*W*A, k); matches permute_to_N_HWA_K.
+        n, h, w, _ = x.shape
+        return x.reshape(n, h * w * self.num_anchors, k)
 
-        def flatten(x, k):
-            # (N, H, W, A*k) -> (N, H*W*A, k); matches permute_to_N_HWA_K.
-            n, h, w, _ = x.shape
-            return x.reshape(n, h * w * self.num_anchors, k)
-
+    def _outputs(self, cls_feats, box_feats):
         logits, deltas, logit_vars, cov_params = [], [], [], []
-        for feat in features:
-            c = run_tower(cls_tower, feat)
-            b = run_tower(box_tower, feat)
-            logits.append(flatten(cls_score(c), self.num_classes))
-            deltas.append(flatten(bbox_pred(b), 4))
-            if cls_var is not None:
-                logit_vars.append(flatten(cls_var(c), self.num_classes))
-            if bbox_cov is not None:
-                cov_params.append(flatten(bbox_cov(b), self.bbox_cov_dims))
-
+        for c, b in zip(cls_feats, box_feats):
+            logits.append(self._flatten(self.cls_score(c), self.num_classes))
+            deltas.append(self._flatten(self.bbox_pred(b), 4))
+            if self.compute_cls_var:
+                logit_vars.append(
+                    self._flatten(self.cls_var(c), self.num_classes)
+                )
+            if self.compute_bbox_cov:
+                cov_params.append(
+                    self._flatten(self.bbox_cov(b), self.bbox_cov_dims)
+                )
         as_f32 = lambda xs: jnp.concatenate(xs, axis=1).astype(jnp.float32)
         return {
             "box_cls": as_f32(logits),
@@ -164,6 +147,44 @@ class ProbabilisticRetinaNetHead(nn.Module):
             "box_cls_var": as_f32(logit_vars) if logit_vars else None,
             "box_reg_var": as_f32(cov_params) if cov_params else None,
         }
+
+    def __call__(
+        self, features: Sequence[jnp.ndarray], deterministic: bool = True
+    ) -> Dict[str, Optional[jnp.ndarray]]:
+        cls_tower = self._tower("cls_subnet")
+        box_tower = self._tower("bbox_subnet")
+        cls_feats = [self._run_tower(cls_tower, f, deterministic) for f in features]
+        box_feats = [self._run_tower(box_tower, f, deterministic) for f in features]
+        return self._outputs(cls_feats, box_feats)
+
+    def prefix(self, features: Sequence[jnp.ndarray]):
+        """Shared first tower convs: relu(conv0(f)) per level for both
+        towers. Runs of an MC-dropout bank only diverge at the first
+        dropout, so this is computed once per image — exact semantics, 25%
+        of the tower FLOPs saved vs replicating whole head passes (the
+        reference replicates feature lists xN,
+        probabilistic_retinanet.py:104-108)."""
+        cls_tower = self._tower("cls_subnet")
+        box_tower = self._tower("bbox_subnet")
+        cls_prefix = [nn.relu(cls_tower[0](f)) for f in features]
+        box_prefix = [nn.relu(box_tower[0](f)) for f in features]
+        return cls_prefix, box_prefix
+
+    def rest(self, prefix_pair, deterministic: bool = False):
+        """Per-run remainder: dropout + convs 1..n + output convs. vmap
+        this over dropout keys for the MC bank."""
+        cls_prefix, box_prefix = prefix_pair
+        cls_tower = self._tower("cls_subnet")
+        box_tower = self._tower("bbox_subnet")
+        cls_feats = [
+            self._run_tower(cls_tower, p, deterministic, skip_first=True)
+            for p in cls_prefix
+        ]
+        box_feats = [
+            self._run_tower(box_tower, p, deterministic, skip_first=True)
+            for p in box_prefix
+        ]
+        return self._outputs(cls_feats, box_feats)
 
 
 class ProbabilisticRetinaNet(nn.Module):
@@ -227,6 +248,14 @@ class ProbabilisticRetinaNet(nn.Module):
         self, features: Sequence[jnp.ndarray], deterministic: bool = True
     ) -> Dict[str, Optional[jnp.ndarray]]:
         return self.head(features, deterministic=deterministic)
+
+    def head_prefix(self, features: Sequence[jnp.ndarray]):
+        """Shared MC prefix (see ProbabilisticRetinaNetHead.prefix)."""
+        return self.head.prefix(features)
+
+    def forward_head_rest(self, prefix_pair, deterministic: bool = False):
+        """Per-run MC remainder (vmap over dropout keys)."""
+        return self.head.rest(prefix_pair, deterministic)
 
     def __call__(
         self, images: jnp.ndarray, deterministic: bool = True
