@@ -163,7 +163,11 @@ def bayes_od(
 
 
 def black_box_merge(
-    dets: Detections, nms_thresh: float, max_dets: int, affinity_threshold: float
+    dets: Detections,
+    nms_thresh: float,
+    max_dets: int,
+    affinity_threshold: float,
+    is_generalized_rcnn: bool = False,
 ) -> Detections:
     """Merge post-NMS detections from M stochastic runs/ensemble members:
     greedy sequential same-class clustering, cluster mean + epistemic +
@@ -186,8 +190,11 @@ def black_box_merge(
         min_members=2,
         center_idx=jnp.arange(n),
     )
-    scores = jnp.max(probs, axis=1)
-    classes = jnp.argmax(probs, axis=1).astype(jnp.int32)
+    # Generalized-RCNN probability vectors carry a trailing background
+    # column excluded from scoring (reference: inference_utils.py:256-263).
+    score_probs = probs[:, :-1] if is_generalized_rcnn else probs
+    scores = jnp.max(score_probs, axis=1)
+    classes = jnp.argmax(score_probs, axis=1).astype(jnp.int32)
     keep = batched_nms(boxes, scores, classes, centers, nms_thresh, max_dets)
     merged = Detections(
         boxes=boxes, covs=covs, scores=scores, classes=classes,

@@ -40,3 +40,21 @@ def shard_batch(batch: dict, mesh: Optional[Mesh], axis_name: str = "data") -> d
         return batch
     sharding = data_sharding(mesh, axis_name)
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a multi-process
+    coordinator (replaces detectron2's `launch` --num-machines/--machine-rank
+    path, SURVEY.md §2.4). Controlled by standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) or cloud
+    auto-detection; no-op on a single host."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
