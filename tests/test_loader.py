@@ -1,0 +1,83 @@
+"""Input-pipeline tests: resize geometry, static canvas, batch padding,
+gt handling (reference: detectron2 ResizeShortestEdge/ImageList semantics)."""
+
+import numpy as np
+import pytest
+
+from pod_compare_tpu.data.loader import (
+    TestLoader,
+    TrainLoader,
+    resize_shortest_edge,
+    static_canvas,
+)
+from pod_compare_tpu.data.synthetic import register_synthetic
+from pod_compare_tpu.data.datasets import get_dataset
+
+
+def test_resize_shortest_edge_geometry():
+    # BDD: 720x1280 at min 720 stays exact
+    assert resize_shortest_edge(720, 1280, 720, 1333) == (720, 1280)
+    # test-time 800 cap at 1333: 720x1280 -> scale to max_size
+    h, w = resize_shortest_edge(720, 1280, 800, 1333)
+    assert w == 1333 and abs(h - 750) <= 1
+    # KITTI: 375x1242 at 800/1333 -> capped by width
+    h, w = resize_shortest_edge(375, 1242, 800, 1333)
+    assert w == 1333 and h == int(375 * (1333 / 1242) + 0.5)
+
+
+def test_static_canvas_covers_and_aligns():
+    canvas = static_canvas([(720, 1280)], 720, 1333, 32)
+    assert canvas == (736, 1280)
+    canvas = static_canvas([(375, 1242), (370, 1224)], 800, 1333, 32)
+    assert canvas[0] % 32 == 0 and canvas[1] % 32 == 0
+    for h, w in [(375, 1242), (370, 1224)]:
+        rh, rw = resize_shortest_edge(h, w, 800, 1333)
+        assert rh <= canvas[0] and rw <= canvas[1]
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("loaderds"))
+    name = register_synthetic(root, "loader_ds", num_images=5, image_size=(48, 64))
+    return get_dataset(name)
+
+
+def test_test_loader_pads_last_batch(synth):
+    loader = TestLoader(synth, batch_size=2, min_size=48, max_size=1333)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1]["batch_valid"].tolist() == [True, False]
+    for b in batches:
+        assert b["images"].shape[0] == 2
+        assert b["images"].shape[1] % 32 == 0 and b["images"].shape[2] % 32 == 0
+    ids = [
+        int(i)
+        for b in batches
+        for i, v in zip(b["image_ids"], b["batch_valid"])
+        if v
+    ]
+    assert sorted(ids) == [0, 1, 2, 3, 4]
+
+
+def test_train_loader_batches(synth):
+    loader = TrainLoader(
+        synth, batch_size=2, min_size=48, max_size=1333, seed=1
+    )
+    it = iter(loader)
+    batch = next(it)
+    assert batch["images"].shape == (2, *loader.canvas, 3)
+    assert batch["gt_boxes"].shape == (2, 100, 4)
+    assert batch["gt_valid"].any()
+    # boxes lie inside the resized frame
+    v = batch["gt_valid"]
+    boxes = batch["gt_boxes"][v]
+    assert (boxes[:, 2] > boxes[:, 0]).all()
+    assert (boxes[:, 0] >= 0).all()
+    assert (boxes[:, 2] <= loader.canvas[1] + 1e-3).all()
+
+
+def test_train_loader_deterministic_seed(synth):
+    a = next(iter(TrainLoader(synth, 2, 48, 1333, seed=7)))
+    b = next(iter(TrainLoader(synth, 2, 48, 1333, seed=7)))
+    np.testing.assert_array_equal(a["image_ids"], b["image_ids"])
+    np.testing.assert_allclose(a["images"], b["images"])
