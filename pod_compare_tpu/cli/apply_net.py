@@ -145,11 +145,30 @@ def run_inference(
     return summary
 
 
-def main(args, batch_size: int = 8):
+def main(args, batch_size: int = 8, profile: bool = False):
     cfg = setup_config(args, random_seed=args.random_seed, is_testing=True)
     inference_name = os.path.splitext(os.path.basename(args.inference_config))[0]
     test_dataset = args.test_dataset or cfg.DATASETS.TEST[0]
-    return run_inference(cfg, test_dataset, inference_name, batch_size=batch_size)
+    summary = run_inference(
+        cfg, test_dataset, inference_name, batch_size=batch_size,
+        profile=profile,
+    )
+    # Copy the inference config next to its artifacts for provenance
+    # (reference: apply_net.py:48-51).
+    from shutil import copyfile
+    from pod_compare_tpu import configs_dir
+
+    src_cfg = args.inference_config
+    if not os.path.isfile(src_cfg):
+        src_cfg = os.path.join(configs_dir(), args.inference_config)
+    if os.path.isfile(src_cfg):
+        copyfile(
+            src_cfg,
+            os.path.join(
+                summary["inference_output_dir"], os.path.basename(src_cfg)
+            ),
+        )
+    return summary
 
 
 if __name__ == "__main__":
@@ -158,4 +177,4 @@ if __name__ == "__main__":
     parser.add_argument("--profile", action="store_true")
     args = parser.parse_args()
     print("Command Line Args:", args)
-    main(args, batch_size=args.batch_size)
+    main(args, batch_size=args.batch_size, profile=args.profile)

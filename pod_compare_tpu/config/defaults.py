@@ -151,6 +151,10 @@ def get_cfg() -> ConfigNode:
     _C.TEST = ConfigNode()
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.EVAL_PERIOD = 0
+    # Optional [[metric_key, expected, tolerance], ...] verified by the
+    # eval-only path (detectron2 verify_results semantics; unset in the
+    # reference's configs).
+    _C.TEST.EXPECTED_RESULTS = []
 
     # ----------------------------------------------------------- TPU/PARALLEL
     # TPU-native additions (no reference equivalent; detectron2 `launch` is

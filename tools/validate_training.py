@@ -1,0 +1,56 @@
+"""End-to-end learning validation on real TPU hardware.
+
+Trains the full probabilistic model from scratch on an easy synthetic
+dataset and checks mAP becomes clearly nonzero — the "training actually
+learns" proof the reference never automates (SURVEY.md §4). Run:
+    python tools/validate_training.py
+"""
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pod_compare_tpu.config import get_cfg
+from pod_compare_tpu.data.synthetic import register_synthetic
+from pod_compare_tpu.parallel.mesh import create_mesh
+from pod_compare_tpu.train.trainer import Trainer
+
+
+def main(max_iter=300):
+    root = tempfile.mkdtemp()
+    name = register_synthetic(
+        root, "validate", num_images=32, image_size=(96, 128), num_classes=3,
+        max_objects=2, seed=3,
+    )
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 3
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 10
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.1
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.SOLVER.BASE_LR = 2e-4
+    cfg.SOLVER.WARMUP_ITERS = 50
+    cfg.SOLVER.WARMUP_FACTOR = 0.1
+    cfg.SOLVER.STEPS = (200, 260)
+    cfg.SOLVER.MAX_ITER = max_iter
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+    cfg.MODEL.PROBABILISTIC_MODELING.ANNEALING_STEP = 200
+    cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.OUTPUT_DIR = tempfile.mkdtemp()
+    cfg.SEED = 0
+
+    trainer = Trainer(cfg, mesh=create_mesh(1))
+    trainer.train(max_iter=max_iter, log_period=50)
+    summary = trainer.test(batch_size=8)
+    print(f"FINAL mAP={summary['mAP']:.4f} AP50={summary['AP50']:.4f}")
+    assert summary["AP50"] > 0.3, "training failed to learn synthetic data"
+    print("TRAINING VALIDATION PASSED")
+
+
+if __name__ == "__main__":
+    main()
