@@ -108,3 +108,56 @@ def test_trainer_test_hook(trained_setup):
     summary = trainer.test(batch_size=2)
     assert "mAP" in summary
     assert summary["num_images"] == 8
+
+
+def test_ensemble_checkpoint_discovery(tmp_path_factory):
+    """Ensemble inference discovers sibling random_seed_<s> checkpoints
+    (reference: probabilistic_inference.py:59-77) and runs end-to-end."""
+    import jax
+    from pod_compare_tpu.cli.apply_net import load_predictor_params, run_inference
+    from pod_compare_tpu.data.synthetic import register_synthetic
+    from pod_compare_tpu.models import build_model, init_model_params
+    from pod_compare_tpu.parallel.mesh import create_mesh
+    from pod_compare_tpu.train.checkpoint import Checkpointer, sibling_seed_dir
+    from pod_compare_tpu.config import get_cfg
+
+    root = str(tmp_path_factory.mktemp("ens"))
+    name = register_synthetic(root, "synth_ens", num_images=4, image_size=(48, 64))
+    base = str(tmp_path_factory.mktemp("ens_out"))
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 3
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 2
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 10
+    cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "ensembles"
+    cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.RANDOM_SEED_NUMS = [0, 1000]
+    cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE = "pre_nms"
+    cfg.OUTPUT_DIR = os.path.join(base, "random_seed_0")
+
+    # Write two member checkpoints into sibling seed dirs.
+    model = build_model(cfg)
+    for seed in [0, 1000]:
+        params = init_model_params(model, (48, 64), seed=seed)
+        ckpt = Checkpointer(sibling_seed_dir(cfg.OUTPUT_DIR, seed))
+        ckpt.save(0, {"params": params}, force=True)
+        ckpt.wait()
+        ckpt.close()
+
+    params, params_list = load_predictor_params(cfg)
+    assert params is None and len(params_list) == 2
+
+    summary = run_inference(
+        cfg, name, "ensembles_pre_nms", batch_size=2,
+        params_list=params_list, run_metrics=False, run_map=True,
+        verbose=False,
+    )
+    assert summary["num_images"] == 4
+    assert "mAP" in summary
