@@ -165,6 +165,10 @@ def get_cfg() -> ConfigNode:
     _C.PARALLEL.NUM_DEVICES = -1
     # bfloat16 compute for backbone/head convs (MXU-native).
     _C.PARALLEL.COMPUTE_DTYPE = "bfloat16"
+    # Rematerialize the forward under grad (jax.checkpoint): trades ~1/3
+    # more FLOPs for a large activation-memory reduction, enabling bigger
+    # per-chip batches.
+    _C.PARALLEL.REMAT = False
 
     return _C
 

@@ -69,16 +69,27 @@ def make_train_step(cfg, model, anchors: jnp.ndarray, mesh=None):
 
     # build_optimizer needs params for the decay mask; rebuild inside a
     # closure on first trace instead (mask depends only on tree structure).
+    use_remat = bool(cfg.PARALLEL.REMAT)
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, dropout_rng, loss_rng = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
-            outputs = model.apply(
+        def forward(params, images):
+            return model.apply(
                 {"params": params},
-                batch["images"],
+                images,
                 False,  # dropout active during training (model.train())
                 rngs={"dropout": dropout_rng},
             )
+
+        if use_remat:
+            # jax.checkpoint: recompute activations in the backward pass
+            # instead of storing them (HBM-for-FLOPs trade, SURVEY has no
+            # counterpart — detectron2 has no activation checkpointing).
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            outputs = forward(params, batch["images"])
             losses, new_norm = compute_losses(
                 loss_rng,
                 outputs,

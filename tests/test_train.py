@@ -215,3 +215,46 @@ def test_checkpoint_roundtrip_and_resume(tiny_trainer):
     )
     assert resumed
     assert int(restored["step"]) == 8
+
+
+def test_remat_train_step_matches(rng):
+    """PARALLEL.REMAT=True must not change the step's numerics."""
+    import jax
+    import jax.numpy as jnp
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.models import build_anchor_generator, build_model
+    from pod_compare_tpu.train.trainer import create_train_state, make_train_step
+
+    image_size = (32, 32)
+
+    def run(remat):
+        cfg = get_cfg()
+        cfg.MODEL.RETINANET.NUM_CLASSES = 3
+        cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+        cfg.PARALLEL.REMAT = remat
+        model = build_model(cfg)
+        gen = build_anchor_generator(cfg)
+        anchors = jnp.asarray(gen.concatenated(image_size))
+        state = create_train_state(cfg, model, image_size, seed=0)
+        step = make_train_step(cfg, model, anchors)
+        batch = {
+            "images": jnp.asarray(
+                np.random.RandomState(0).rand(2, *image_size, 3) * 255,
+                jnp.float32,
+            ),
+            "gt_boxes": jnp.asarray(
+                np.tile(np.array([[4.0, 4.0, 20.0, 20.0]], np.float32), (2, 1, 1))
+            ),
+            "gt_classes": jnp.zeros((2, 1), jnp.int32),
+            "gt_valid": jnp.ones((2, 1), bool),
+        }
+        new_state, metrics = step(state, batch)
+        return float(metrics["total_loss"]), new_state
+
+    loss_plain, s1 = run(False)
+    loss_remat, s2 = run(True)
+    np.testing.assert_allclose(loss_remat, loss_plain, rtol=1e-5)
+    # updated params agree
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
