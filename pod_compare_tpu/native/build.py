@@ -11,7 +11,7 @@ import threading
 _LOCK = threading.Lock()
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
-SOURCES = ["cocoeval.cpp", "match_engine.cpp", "imageops.cpp"]
+SOURCES = ["cocoeval.cpp", "match_engine.cpp"]
 LIB_NAME = "libpodnative.so"
 
 
