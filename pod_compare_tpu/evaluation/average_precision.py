@@ -55,3 +55,27 @@ def read_optimal_score_threshold(inference_output_dir: str) -> float:
     with open(path) as f:
         value = f.read().strip("][\n").split(", ")[-1]
     return round(float(value), 4)
+
+
+def _cli(main_fn):
+    """Standalone CLI entry (reference: offline_evaluation modules each
+    carry their own __main__ + launch block)."""
+    from pod_compare_tpu.config import (
+        inference_output_dir,
+        setup_arg_parser,
+        setup_config,
+    )
+
+    parser = setup_arg_parser()
+    args = parser.parse_args()
+    cfg = setup_config(args, random_seed=args.random_seed, is_testing=True)
+    inf_dir = inference_output_dir(cfg, args.test_dataset, args.inference_config)
+    return main_fn(cfg, args, inf_dir)
+
+
+if __name__ == "__main__":
+    _cli(
+        lambda cfg, args, inf_dir: evaluate_average_precision(
+            inf_dir, args.test_dataset
+        )
+    )

@@ -175,3 +175,32 @@ def evaluate_calibration_errors(
         ])
         print(table)
     return summary
+
+
+def _cli(main_fn):
+    """Standalone CLI entry (reference: offline_evaluation modules each
+    carry their own __main__ + launch block)."""
+    from pod_compare_tpu.config import (
+        inference_output_dir,
+        setup_arg_parser,
+        setup_config,
+    )
+
+    parser = setup_arg_parser()
+    args = parser.parse_args()
+    cfg = setup_config(args, random_seed=args.random_seed, is_testing=True)
+    inf_dir = inference_output_dir(cfg, args.test_dataset, args.inference_config)
+    return main_fn(cfg, args, inf_dir)
+
+
+if __name__ == "__main__":
+    _cli(
+        lambda cfg, args, inf_dir: evaluate_calibration_errors(
+            inf_dir,
+            args.test_dataset,
+            cfg.DATASETS.TRAIN[0],
+            iou_min=args.iou_min,
+            iou_correct=args.iou_correct,
+            min_allowed_score=args.min_allowed_score or None,
+        )
+    )
