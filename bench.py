@@ -75,14 +75,14 @@ def main():
     t0 = time.time()
     for i in range(WARMUP_ITERS):
         dets = predictor(images, input_sizes, output_sizes, key)
-    jax.block_until_ready(dets.boxes)
-    log(f"warmup done in {time.time() - t0:.1f}s")
+    _ = np.asarray(dets.boxes)  # host fetch: block_until_ready can be
+    log(f"warmup done in {time.time() - t0:.1f}s")  # unreliable on this platform
 
     t0 = time.time()
     for i in range(MEASURE_ITERS):
         key, sub = jax.random.split(key)
         dets = predictor(images, input_sizes, output_sizes, sub)
-    jax.block_until_ready(dets.boxes)
+    _ = np.asarray(dets.boxes)
     elapsed = time.time() - t0
     img_per_s = BATCH_SIZE * MEASURE_ITERS / elapsed
     log(

@@ -153,9 +153,30 @@ class ProbabilisticPredictor:
         """
         model = self.model
         if self.mode == "ensembles":
-            # vmapped model-replica forward over stacked params (eval mode —
-            # the reference keeps ensemble members deterministic,
-            # probabilistic_inference.py:63-64).
+            # Model-replica forward over stacked params (eval mode — the
+            # reference keeps ensemble members deterministic,
+            # probabilistic_inference.py:63-64). With a 'member' mesh axis
+            # the member forward runs under shard_map: each member computes
+            # on its own mesh slice with UNPARTITIONED convs. (A plain
+            # sharded vmap lowers to batch-grouped convolutions that the
+            # SPMD partitioner computes incorrectly — caught by the
+            # ensemble-sharding equivalence test.)
+            if self.mesh is not None and "member" in self.mesh.axis_names:
+                from jax.sharding import PartitionSpec as P
+
+                def fwd(p_shard, img_shard):
+                    return jax.vmap(
+                        lambda p: model.apply({"params": p}, img_shard, True)
+                    )(p_shard)
+
+                outs = jax.shard_map(
+                    fwd,
+                    mesh=self.mesh,
+                    in_specs=(P("member"), P("data")),
+                    out_specs=P("member", "data"),
+                    check_vma=False,
+                )(params, images)
+                return outs, True
             outs = jax.vmap(
                 lambda p: model.apply({"params": p}, images, True)
             )(params)
@@ -272,13 +293,27 @@ class ProbabilisticPredictor:
             # (the per-image vmap splits cleanly — no cross-image
             # communication exists in any mode). Replaces the reference's
             # single-GPU pinned inference (apply_net.py:113-114).
+            #
+            # Ensembles with a 'member' mesh axis additionally shard the
+            # stacked member-parameter axis: each member's forward runs on
+            # its own mesh slice and the cross-member output average becomes
+            # an ICI all-reduce ("ensemble parallelism", SURVEY.md §2.3).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from pod_compare_tpu.parallel.mesh import data_sharding, replicated
 
             rep = replicated(self.mesh)
             shard = data_sharding(self.mesh)
+            params_sharding = rep
+            if self.mode == "ensembles" and "member" in self.mesh.axis_names:
+                assert self.num_members % self.mesh.shape["member"] == 0, (
+                    f"{self.num_members} ensemble members not divisible by "
+                    f"member axis {self.mesh.shape['member']}"
+                )
+                params_sharding = NamedSharding(self.mesh, P("member"))
             return jax.jit(
                 pipeline,
-                in_shardings=(rep, shard, rep, shard, shard),
+                in_shardings=(params_sharding, shard, rep, shard, shard),
                 out_shardings=shard,
             )
         return jax.jit(pipeline)

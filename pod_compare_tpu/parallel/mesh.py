@@ -25,6 +25,23 @@ def create_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices[:num_devices]), (axis_name,))
 
 
+def create_ensemble_mesh(
+    num_members: int, data_devices: int = -1
+) -> Mesh:
+    """2-D ('member', 'data') mesh for sharded ensemble inference: each
+    member's replica runs on its own mesh slice (SURVEY.md §2.3 — the
+    honest multi-chip analog of "ensemble parallelism")."""
+    devices = jax.devices()
+    if data_devices == -1:
+        data_devices = len(devices) // num_members
+    need = num_members * data_devices
+    assert need <= len(devices), (need, len(devices))
+    return Mesh(
+        np.array(devices[:need]).reshape(num_members, data_devices),
+        ("member", "data"),
+    )
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(axis_name))

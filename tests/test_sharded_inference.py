@@ -63,3 +63,46 @@ def test_sharded_matches_single_device():
         s.device for s in d_sharded.boxes.addressable_shards
     }
     assert len(shard_devices) == 4
+
+
+def test_ensemble_member_axis_sharding():
+    """Ensembles over a ('member', 'data') mesh: member params sharded on
+    their own axis; results match the single-device ensemble pipeline."""
+    from pod_compare_tpu.parallel.mesh import create_ensemble_mesh
+
+    cfg = make_cfg()
+    cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "ensembles"
+    cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE = "pre_nms"
+    cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.RANDOM_SEED_NUMS = [0, 1000]
+
+    model = build_model(cfg)
+    params_list = [
+        init_model_params(model, IMAGE_SIZE, seed=s) for s in [0, 1]
+    ]
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(BATCH, *IMAGE_SIZE, 3) * 255, jnp.float32
+    )
+    sizes = np.tile(np.asarray(IMAGE_SIZE, np.float32), (BATCH, 1))
+    key = jax.random.PRNGKey(0)
+
+    single = build_predictor(cfg, IMAGE_SIZE, params_list=params_list)
+    d_single = single(images, sizes, sizes, key)
+
+    mesh = create_ensemble_mesh(num_members=2, data_devices=2)
+    assert mesh.shape == {"member": 2, "data": 2}
+    sharded = build_predictor(
+        cfg, IMAGE_SIZE, params_list=params_list, mesh=mesh
+    )
+    d_sharded = sharded(images, sizes, sizes, key)
+
+    v1, v2 = np.asarray(d_single.valid), np.asarray(d_sharded.valid)
+    np.testing.assert_array_equal(v1, v2)
+    assert v1.any()
+    np.testing.assert_allclose(
+        np.asarray(d_single.boxes)[v1], np.asarray(d_sharded.boxes)[v2],
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_single.scores)[v1], np.asarray(d_sharded.scores)[v2],
+        atol=1e-4,
+    )
