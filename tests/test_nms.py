@@ -48,13 +48,20 @@ def oracle_batched_nms(boxes, scores, classes, threshold):
     return oracle_nms(shifted, scores, threshold)
 
 
-def test_nms_matches_oracle(rng):
+import pytest
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("thresh", [0.3, 0.5, 0.7])
+def test_nms_matches_oracle(seed, thresh):
+    rng = np.random.RandomState(seed)
     boxes = random_boxes(rng, 64)
     scores = rng.rand(64).astype(np.float32)
     valid = np.ones(64, bool)
-    res = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, 64)
+    res = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+              thresh, 64)
     ours = np.asarray(res.indices)[np.asarray(res.valid)]
-    ref = oracle_nms(boxes, scores, 0.5)
+    ref = oracle_nms(boxes, scores, thresh)
     np.testing.assert_array_equal(ours, ref)
 
 
