@@ -185,9 +185,40 @@ class Trainer:
         self.storage = EventStorage(cfg.OUTPUT_DIR)
 
     def resume_or_load(self, resume: bool = False) -> None:
+        """Resume from the latest checkpoint, else warm-start from
+        cfg.MODEL.WEIGHTS (reference: DetectionCheckpointer.resume_or_load,
+        train_net.py:80; ImageNet R-50 init from
+        Base-BDD-RetinaNet.yaml:6). WEIGHTS may be a reference torch
+        .pth/.pkl checkpoint (converted on the fly) or an orbax
+        checkpoint directory."""
         self.state, resumed = resume_or_load(self.checkpointer, self.state, resume)
         if resumed:
             self.logger.info(f"Resumed from step {int(self.state.step)}")
+            return
+        weights = self.cfg.MODEL.WEIGHTS
+        if not weights:
+            return
+        if weights.endswith(".pth") or weights.endswith(".pkl"):
+            from pod_compare_tpu.train.torch_convert import (
+                convert_torch_state_dict,
+                load_reference_checkpoint,
+                merge_into_params,
+            )
+
+            converted = convert_torch_state_dict(
+                load_reference_checkpoint(weights)
+            )
+            params = merge_into_params(jax.device_get(self.state.params), converted)
+        else:
+            from pod_compare_tpu.train.checkpoint import load_params
+
+            params = load_params(weights)
+        self.state = self.state._replace(
+            params=jax.device_put(
+                params, jax.tree_util.tree_leaves(self.state.params)[0].sharding
+            )
+        )
+        self.logger.info(f"Warm-started from MODEL.WEIGHTS={weights}")
 
     def train(
         self,

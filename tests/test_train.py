@@ -258,3 +258,49 @@ def test_remat_train_step_matches(rng):
     l1 = jax.tree_util.tree_leaves(s1.params)[0]
     l2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_model_weights_warm_start(tmp_path, rng):
+    """cfg.MODEL.WEIGHTS pointing at a reference-format .pkl warm-starts
+    the backbone while leaving head init intact (reference:
+    resume_or_load + Base-BDD-RetinaNet.yaml:6)."""
+    import pickle
+
+    import jax
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.data.synthetic import register_synthetic
+    from pod_compare_tpu.parallel.mesh import create_mesh
+    from pod_compare_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "ds")
+    name = register_synthetic(root, "warm_ds", num_images=4, image_size=(48, 64))
+
+    stem = (rng.randn(64, 3, 7, 7) * 0.05).astype(np.float32)
+    pkl = {
+        "model": {
+            "stem.conv1.weight": stem,
+            "stem.conv1.norm.weight": np.ones(64, np.float32),
+            "stem.conv1.norm.bias": np.zeros(64, np.float32),
+            "stem.conv1.norm.running_mean": np.zeros(64, np.float32),
+            "stem.conv1.norm.running_var": np.ones(64, np.float32),
+        },
+        "__author__": "test",
+    }
+    weights_path = str(tmp_path / "R-50.pkl")
+    with open(weights_path, "wb") as f:
+        pickle.dump(pkl, f)
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 3
+    cfg.MODEL.WEIGHTS = weights_path
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SEED = 0
+
+    trainer = Trainer(cfg, mesh=create_mesh(1))
+    trainer.resume_or_load(resume=False)
+    got = np.asarray(trainer.state.params["resnet"]["stem_conv1"]["kernel"])
+    np.testing.assert_allclose(got, np.transpose(stem, (2, 3, 1, 0)), atol=1e-6)
