@@ -161,3 +161,69 @@ def test_ensemble_checkpoint_discovery(tmp_path_factory):
     )
     assert summary["num_images"] == 4
     assert "mAP" in summary
+
+
+def test_cross_dataset_bdd_model_on_kitti_val(tmp_path_factory):
+    """A BDD-trained (7-class) model evaluated on a KITTI-format val set:
+    detections remap to KITTI ids {1,2} (others dropped) and gt remaps back
+    into model space for the metrics (reference: apply_net.py:53-79 +
+    evaluation_utils.py:370-397)."""
+    import jax
+    from pod_compare_tpu.cli.apply_net import run_inference
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.data import metadata
+    from pod_compare_tpu.data.datasets import register_coco_instances
+    from pod_compare_tpu.data.synthetic import generate_synthetic_dataset
+    from pod_compare_tpu.models import build_model, init_model_params
+
+    root = str(tmp_path_factory.mktemp("cross"))
+    # KITTI-like val set: 2 categories (ids 1=car, 2=person).
+    json_file, image_dir = generate_synthetic_dataset(
+        root, "kitti_x", num_images=4, image_size=(48, 64), num_classes=2
+    )
+    register_coco_instances(
+        "kitti_x_val", json_file, image_dir,
+        metadata.KITTI_THING_CLASSES,
+        metadata.KITTI_THING_DATASET_ID_TO_CONTIGUOUS_ID,
+    )
+    # Train-side registration only supplies metadata (never loaded here).
+    register_coco_instances(
+        "bdd_x_train", json_file, image_dir,
+        metadata.BDD_THING_CLASSES,
+        metadata.BDD_THING_DATASET_ID_TO_CONTIGUOUS_ID,
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 7   # BDD-trained model
+    cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = ("bdd_x_train",)
+    cfg.DATASETS.TEST = ("kitti_x_val",)
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("cross_out"))
+
+    model = build_model(cfg)
+    params = init_model_params(model, (48, 64), seed=0)
+    # Bias the cls head toward the two KITTI-mapped classes (car=0,
+    # person=3) so the random-init model emits mappable detections.
+    bias = np.asarray(params["head"]["cls_score"]["bias"]).copy()
+    bias = bias.reshape(9, 7)
+    bias[:, [0, 3]] += 4.0
+    params["head"]["cls_score"]["bias"] = bias.reshape(-1)
+    summary = run_inference(
+        cfg, "kitti_x_val", "standard_nms", batch_size=2,
+        params=params, run_map=False, run_metrics=True, verbose=False,
+    )
+    with open(
+        os.path.join(summary["inference_output_dir"],
+                     "coco_instances_results.json")
+    ) as f:
+        results = json.load(f)
+    # only the two mapped classes survive, in KITTI dataset ids
+    assert results, "no detections dumped"
+    assert {r["category_id"] for r in results} <= {1, 2}
+    # probability vectors stay in the 7-class model space
+    assert all(len(r["cls_prob"]) == 7 for r in results)
+    pm = summary["probabilistic_metrics"]
+    assert pm["num_true_positives"] >= 0
