@@ -31,7 +31,6 @@ from pod_compare_tpu.evaluation.probabilistic_metrics import (
 from pod_compare_tpu.inference.core import Detections
 from pod_compare_tpu.inference.postprocess import detections_to_json
 from pod_compare_tpu.inference.predictor import build_predictor
-from pod_compare_tpu.models import build_model, init_model_params
 from pod_compare_tpu.train.checkpoint import load_ensemble_params, load_params
 from pod_compare_tpu.utils.logging import setup_logger
 

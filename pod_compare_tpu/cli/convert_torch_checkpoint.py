@@ -12,8 +12,6 @@ Writes step-0 params into the config's OUTPUT_DIR checkpoint directory so
 `MODEL.WEIGHTS` warm-start path, Base-BDD-RetinaNet.yaml:6).
 """
 
-import argparse
-
 from pod_compare_tpu.config import setup_arg_parser, setup_config
 from pod_compare_tpu.models import build_model, init_model_params
 from pod_compare_tpu.train.checkpoint import Checkpointer

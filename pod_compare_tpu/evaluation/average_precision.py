@@ -5,8 +5,6 @@ import json
 import os
 from typing import Optional, Sequence
 
-import numpy as np
-
 from pod_compare_tpu.data.datasets import get_dataset
 from pod_compare_tpu.evaluation.coco_eval import (
     COCOEvaluator,

@@ -21,8 +21,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-from pod_compare_tpu.evaluation.scoring import REG_CONDITIONING
-
 
 def marginal_calibration_error(
     probs: np.ndarray, labels: np.ndarray, num_bins: int = 15, debias: bool = True

@@ -1,7 +1,6 @@
 """Calibration-error and MUE report
 (reference: src/offline_evaluation/compute_calibration_errors.py)."""
 
-import os
 from typing import Dict, Optional
 
 import numpy as np

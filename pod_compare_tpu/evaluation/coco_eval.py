@@ -14,7 +14,7 @@ runs off the hot path on host; a C++ drop-in with the same API lives in
 """
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ assigned to multiple gts — behavior preserved exactly.
 import json
 import os
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

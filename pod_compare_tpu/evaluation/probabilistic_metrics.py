@@ -1,7 +1,6 @@
 """Proper-scoring-rule report over matched TP/FP/FN partitions
 (reference: src/offline_evaluation/compute_probabilistic_metrics.py)."""
 
-import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np

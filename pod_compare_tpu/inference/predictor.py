@@ -15,8 +15,7 @@ Stochastic axes are explicit vmaps:
     device mesh (SURVEY.md §2.3).
 """
 
-from functools import partial
-from typing import Any, Callable, List, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ All convs run in a configurable compute dtype (bfloat16 by default) so the
 FLOP-heavy path maps onto the MXU; params stay float32.
 """
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

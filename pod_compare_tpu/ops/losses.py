@@ -13,8 +13,6 @@ All losses take explicit validity/positivity masks instead of boolean
 indexing, keeping shapes static under jit.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pod_compare_tpu.ops import boxes as box_ops
-
 _NEG_INF = -1e10
 
 

@@ -11,7 +11,7 @@ masked out of weight decay and momentum so `decay * param` cannot mutate
 them — matching torch's requires_grad=False semantics.
 """
 
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import optax

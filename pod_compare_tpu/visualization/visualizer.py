@@ -8,7 +8,6 @@ from the eigendecomposition of the 2x2 corner covariances scaled by the
 OpenCV (no display server needed).
 """
 
-import math
 from typing import Optional, Sequence, Tuple
 
 import cv2
