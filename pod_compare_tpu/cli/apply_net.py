@@ -72,6 +72,7 @@ def run_inference(
         min_size=cfg.INPUT.MIN_SIZE_TEST,
         max_size=cfg.INPUT.MAX_SIZE_TEST,
         divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
     )
     canvas = loader.canvas
 

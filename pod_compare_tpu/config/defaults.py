@@ -138,6 +138,8 @@ def get_cfg() -> ConfigNode:
     _C.INPUT.RANDOM_FLIP = "horizontal"
     # TPU-specific: static padded shape multiple (XLA needs fixed shapes).
     _C.INPUT.SIZE_DIVISIBILITY = 32
+    # TPU-specific: static per-image ground-truth slot count.
+    _C.INPUT.MAX_GT_BOXES = 100
 
     # --------------------------------------------------------------- DATASETS
     _C.DATASETS = ConfigNode()

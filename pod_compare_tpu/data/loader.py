@@ -186,6 +186,7 @@ class TrainLoader:
         canvas: Optional[Tuple[int, int]] = None,
         prefetch: int = 2,
         num_workers: int = 4,
+        flip: bool = True,
     ):
         self.records = [r for r in dataset.load() if r["annotations"]]
         assert self.records, f"Dataset {dataset.name} has no annotated images"
@@ -193,7 +194,7 @@ class TrainLoader:
         self._pool = _ThreadPool(num_workers)
         self.lc = LoaderConfig(
             min_size=min_size, max_size=max_size, divisibility=divisibility,
-            max_gt_boxes=max_gt_boxes, flip=True,
+            max_gt_boxes=max_gt_boxes, flip=flip,
         )
         self.canvas = canvas or static_canvas(
             [(r["height"], r["width"]) for r in self.records],

@@ -166,8 +166,11 @@ class Trainer:
             min_size=min_size,
             max_size=cfg.INPUT.MAX_SIZE_TRAIN,
             divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+            max_gt_boxes=cfg.INPUT.MAX_GT_BOXES,
             seed=max(cfg.SEED, 0),
             canvas=canvas,
+            num_workers=cfg.DATALOADER.NUM_WORKERS,
+            flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
         )
         self.canvas = self.loader.canvas
         gen = build_anchor_generator(cfg)
