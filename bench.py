@@ -26,8 +26,11 @@ REFERENCE_BASELINE_IMG_PER_S = 4.0
 
 BDD_CANVAS = (736, 1280)  # 720x1280 resized + padded to stride 32
 BATCH_SIZE = 16  # throughput sweep: 4->15, 8->20, 16->35, 32->33 img/s
-WARMUP_ITERS = 2
-MEASURE_ITERS = 6
+# The remote-tunnel platform runs the FIRST measurement window ~25-40%
+# slow before reaching steady state (measured: trial0 25.2 -> trials1+
+# 34.6 img/s for identical code), so warmup includes full timed trials.
+WARMUP_ITERS = 12
+MEASURE_ITERS = 10
 
 
 def log(msg):
@@ -74,9 +77,12 @@ def main():
     log("compiling + warmup...")
     t0 = time.time()
     for i in range(WARMUP_ITERS):
-        dets = predictor(images, input_sizes, output_sizes, key)
-    _ = np.asarray(dets.boxes)  # host fetch: block_until_ready can be
-    log(f"warmup done in {time.time() - t0:.1f}s")  # unreliable on this platform
+        key, sub = jax.random.split(key)
+        dets = predictor(images, input_sizes, output_sizes, sub)
+        if i % 4 == 3:
+            _ = np.asarray(dets.boxes)  # host fetch: block_until_ready can
+    _ = np.asarray(dets.boxes)          # be unreliable on this platform
+    log(f"warmup done in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for i in range(MEASURE_ITERS):
