@@ -25,12 +25,12 @@ import numpy as np
 REFERENCE_BASELINE_IMG_PER_S = 4.0
 
 BDD_CANVAS = (736, 1280)  # 720x1280 resized + padded to stride 32
-BATCH_SIZE = 16  # throughput sweep: 4->15, 8->20, 16->35, 32->33 img/s
+BATCH_SIZE = 32  # steady-state sweep: 16->34.9, 24->37.5, 32->38.8 img/s
 # The remote-tunnel platform runs the FIRST measurement window ~25-40%
 # slow before reaching steady state (measured: trial0 25.2 -> trials1+
 # 34.6 img/s for identical code), so warmup includes full timed trials.
-WARMUP_ITERS = 12
-MEASURE_ITERS = 10
+WARMUP_ITERS = 10
+MEASURE_ITERS = 8
 
 
 def log(msg):
