@@ -137,14 +137,6 @@ class ProbabilisticPredictor:
             return cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE == "post_nms"
         return False
 
-    def _stochastic_runs(self) -> int:
-        """Number of stochastic forward runs feeding the pipeline."""
-        if self.mode == "ensembles":
-            return self.num_members
-        if self.mc_enabled and self.num_runs > 1:
-            return self.num_runs
-        return 1
-
     def _member_outputs(self, params, images, rng):
         """All stochastic head outputs, stacked with leading run axis M.
 

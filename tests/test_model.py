@@ -139,3 +139,23 @@ def test_param_count_close_to_reference(full_model_and_params):
     cfg, model, params = full_model_and_params
     n = num_params(params)
     assert 30e6 < n < 50e6, n
+
+
+def test_head_prefix_rest_equals_full(full_model_and_params):
+    """prefix() + rest() (the shared-first-conv MC decomposition, kept for
+    future fused-kernel work) must equal the full head deterministically."""
+    cfg, model, params = full_model_and_params
+    images = jnp.ones((1, *IMAGE_SIZE, 3), jnp.float32) * 30.0
+    feats = model.apply({"params": params}, images, method="backbone")
+    full = model.apply({"params": params}, feats, True, method="forward_head")
+    prefix = model.apply({"params": params}, feats, method="head_prefix")
+    split = model.apply(
+        {"params": params}, prefix, True, method="forward_head_rest"
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["box_cls"]), np.asarray(split["box_cls"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["box_reg_var"]), np.asarray(split["box_reg_var"]),
+        atol=1e-5,
+    )
