@@ -41,6 +41,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pod_compare_tpu.utils import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    log(f"persistent compilation cache: {cache_dir or 'disabled'}")
+
     from pod_compare_tpu.config import get_cfg
     from pod_compare_tpu.inference.predictor import build_predictor
     from pod_compare_tpu.models import build_model, init_model_params

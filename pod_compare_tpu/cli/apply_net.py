@@ -146,6 +146,9 @@ def run_inference(
 
 
 def main(args, batch_size: int = 8, profile: bool = False):
+    from pod_compare_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = setup_config(args, random_seed=args.random_seed, is_testing=True)
     inference_name = os.path.splitext(os.path.basename(args.inference_config))[0]
     test_dataset = args.test_dataset or cfg.DATASETS.TEST[0]

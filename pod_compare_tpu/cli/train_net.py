@@ -39,6 +39,9 @@ def verify_results(cfg, results, logger) -> bool:
 
 
 def main(args):
+    from pod_compare_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     maybe_initialize_distributed()
     cfg = setup_config(args, random_seed=args.random_seed)
     logger = setup_logger(name="pod_compare_tpu.train_net")

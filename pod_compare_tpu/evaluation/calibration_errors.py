@@ -17,6 +17,17 @@ from pod_compare_tpu.evaluation.matching import get_matched_results
 from pod_compare_tpu.utils.table import Table
 
 
+def _quiet_nanmean(values) -> float:
+    """nanmean that returns NaN for empty or all-NaN input without the
+    numpy "Mean of empty slice" RuntimeWarning — classes with no matched
+    detections legitimately contribute NaN per-class metrics (the
+    reference nanmean-aggregates the same way,
+    compute_calibration_errors.py:272-302)."""
+    arr = np.asarray(values, float)
+    finite = arr[np.isfinite(arr)]
+    return float(finite.mean()) if finite.size else float("nan")
+
+
 def evaluate_calibration_errors(
     inference_output_dir: str,
     test_dataset: str,
@@ -149,14 +160,10 @@ def evaluate_calibration_errors(
 
     summary = {
         "cls_marginal_calibration_error": float(cls_marginal),
-        "reg_expected_calibration_error": float(np.nanmean(reg_ece_list))
-        if reg_ece_list else float("nan"),
-        "reg_maximum_calibration_error": float(np.nanmean(reg_mce_list))
-        if reg_mce_list else float("nan"),
-        "cls_min_uncertainty_error": float(np.nanmean(cls_mue_list))
-        if cls_mue_list else float("nan"),
-        "reg_min_uncertainty_error": float(np.nanmean(reg_mue_list))
-        if reg_mue_list else float("nan"),
+        "reg_expected_calibration_error": _quiet_nanmean(reg_ece_list),
+        "reg_maximum_calibration_error": _quiet_nanmean(reg_mce_list),
+        "cls_min_uncertainty_error": _quiet_nanmean(cls_mue_list),
+        "reg_min_uncertainty_error": _quiet_nanmean(reg_mue_list),
         "min_allowed_score": float(min_allowed_score),
     }
     if verbose:

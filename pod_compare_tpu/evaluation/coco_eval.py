@@ -140,7 +140,10 @@ class COCOEvaluator:
                 if m == -1:
                     continue
                 dt_ignore[t_idx, d_idx] = g_ignore[m]
-                dt_match[t_idx, d_idx] = gts[m]["id"]
+                # nonzero marker (m+1, not the raw gt id): dt_match is only
+                # tested for nonzero-ness downstream, and raw ids of 0 —
+                # legal in ad-hoc fixtures — would silently unmatch
+                dt_match[t_idx, d_idx] = m + 1
                 gt_match[t_idx, m] = 1
         dt_out_of_range = np.array(
             [d["area"] < area_rng[0] or d["area"] > area_rng[1] for d in dts],

@@ -109,10 +109,14 @@ def evaluate_probabilistic_metrics(
         )
 
     def nanmean(key, inner):
-        vals = [
-            c[key][inner] for c in per_class if c[key][inner] is not None
-        ]
-        return float(np.nanmean(vals)) if vals else float("nan")
+        vals = np.asarray(
+            [c[key][inner] for c in per_class if c[key][inner] is not None],
+            float,
+        )
+        finite = vals[np.isfinite(vals)]
+        # all-NaN per-class values (no matched detections for any class)
+        # would trip numpy's "Mean of empty slice" warning under np.nanmean
+        return float(finite.mean()) if finite.size else float("nan")
 
     summary = {
         "num_true_positives": int(len(tp["predicted_box_means"])),

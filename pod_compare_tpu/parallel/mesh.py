@@ -69,9 +69,18 @@ def maybe_initialize_distributed() -> bool:
 
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    )
+    if not addr:
+        return False
+    kwargs = {"coordinator_address": addr}
+    # Explicit env overrides beat cluster auto-detection — mirrors the
+    # reference launcher's --num-machines/--machine-rank flags
+    # (train_net.py:91-98).
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True

@@ -74,3 +74,31 @@ def test_full_covariance_pipeline():
     v = np.asarray(dets.valid)
     if v.any():
         assert np.isfinite(covs[0][v[0]]).all()
+
+
+def test_parity_tool_mode_configs_exist():
+    """tools/parity_vs_reference.py's mode list maps 1:1 onto shipped
+    inference configs (reference method matrix, README.md:110-120)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import parity_vs_reference as pvr
+    finally:
+        sys.path.pop(0)
+    from pod_compare_tpu import configs_dir
+
+    for mode in pvr.ALL_MODES:
+        path = os.path.join(configs_dir(), "Inference", f"{mode}.yaml")
+        assert os.path.isfile(path), path
+
+    summary = {
+        "mAP": 0.25,
+        "probabilistic_metrics": {"tp_cls_ignorance": 1.0, "num_images": 4},
+        "calibration_errors": {"cls_marginal_calibration_error": 0.1},
+    }
+    flat = pvr.flatten_summary(summary)
+    assert flat["mAP"] == 0.25
+    assert flat["tp_cls_ignorance"] == 1.0
+    assert flat["cls_marginal_calibration_error"] == 0.1
