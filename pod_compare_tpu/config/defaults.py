@@ -85,6 +85,11 @@ def get_cfg() -> ConfigNode:
     _C.MODEL.PROBABILISTIC_MODELING = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.ANNEALING_STEP = 0
     _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.0
+    # keep decisions per random u32 in dropout mask generation (1 = plain
+    # bernoulli; 2 = packed 16-bit thresholds — see
+    # ops/pallas/dropout.py::packed_dropout). TPU-only perf knob; the
+    # distribution is identical to 2^-16 quantization.
+    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_PACKED_LANES = 1
     _C.MODEL.PROBABILISTIC_MODELING.MC_DROPOUT = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "none"

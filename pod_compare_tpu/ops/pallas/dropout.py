@@ -112,14 +112,42 @@ hardware_dropout.defvjp(_hw_dropout_fwd, _hw_dropout_bwd)
 # HBM. It stays available (`use_hardware_prng=True`) for future work on a
 # fully-fused conv+dropout kernel; the default dispatcher keeps dropout
 # inside the XLA graph.
+def packed_dropout(
+    x: jnp.ndarray, rng: jax.Array, rate: float, lanes: int = 2
+) -> jnp.ndarray:
+    """Dropout with `lanes` keep decisions per random u32 (sub-word
+    thresholds), halving/quartering the threefry ALU bill that dominates
+    the MC-dropout head profile — while staying INSIDE the XLA graph so
+    conv fusion is preserved (unlike the pallas kernel above).
+
+    With lanes=2 the keep probability is quantized to 2^-16 (≤3e-6 off for
+    rate 0.2) — far below any measurable distributional difference.
+    """
+    keep_prob = 1.0 - rate
+    n = x.size
+    sub_bits = 32 // lanes
+    n_words = -(-n // lanes)
+    bits = jax.random.bits(rng, (n_words,), jnp.uint32)
+    shifts = (jnp.arange(lanes, dtype=jnp.uint32) * sub_bits)[None, :]
+    sub = (bits[:, None] >> shifts) & jnp.uint32((1 << sub_bits) - 1)
+    thresh = jnp.uint32(int(round(keep_prob * (1 << sub_bits))))
+    keep = (sub < thresh).reshape(-1)[:n].reshape(x.shape)
+    return jnp.where(keep, x / keep_prob, 0).astype(x.dtype)
+
+
 def dropout(
     x: jnp.ndarray,
     rng: jax.Array,
     rate: float,
     deterministic: bool,
     use_hardware_prng: bool = False,
+    packed_lanes: int = 1,
 ) -> jnp.ndarray:
-    """Dropout dispatcher (see the fusion note above)."""
+    """Dropout dispatcher (see the fusion note above).
+
+    packed_lanes>1 selects the packed-bits threefry path,
+    use_hardware_prng=True the pallas kernel; default is plain bernoulli.
+    """
     if deterministic or rate == 0.0:
         return x
     if use_hardware_prng and jax.default_backend() == "tpu":
@@ -127,5 +155,7 @@ def dropout(
             rng, (), minval=-(2 ** 31), maxval=2 ** 31 - 1, dtype=jnp.int32
         )
         return hardware_dropout(x, seed, rate)
+    if packed_lanes > 1:
+        return packed_dropout(x, rng, rate, packed_lanes)
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)

@@ -25,6 +25,13 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
 
+# Persistent compilation cache: keyed by HLO hash, so stale-code hits are
+# impossible and suite re-runs skip identical recompiles (single CPU core
+# here; compile dominates the 12-min suite).
+from pod_compare_tpu.utils import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,126 @@
+"""Full-covariance (10-parameter head) end-to-end coverage
+(VERDICT round-1 item #7).
+
+The reference supports COVARIANCE_TYPE: 'full'
+(probabilistic_retinanet.py:472-484, modeling_utils.py:4-22) but ships no
+config for it; here the capability is exercised through the WHOLE chain:
+config YAML → 10-param head → NLL training → BayesOD inference (Cholesky →
+MVN sampling → Gaussian fusion of full matrices) → COCO json → metrics.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pod_compare_tpu.config import get_cfg
+from pod_compare_tpu.data.synthetic import register_synthetic
+
+
+def test_full_covariance_config_variant():
+    """The shipped YAML variant selects the 10-dim head."""
+    from pod_compare_tpu import configs_dir
+    from pod_compare_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(
+            configs_dir(),
+            "BDD-Detection/retinanet/retinanet_R_50_FPN_1x_reg_covar_full.yaml",
+        )
+    )
+    assert cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.COVARIANCE_TYPE == "full"
+    model = build_model(cfg)
+    assert model.bbox_cov_dims == 10
+
+
+@pytest.fixture(scope="module")
+def full_cov_setup(tmp_path_factory):
+    from pod_compare_tpu.parallel.mesh import create_mesh
+    from pod_compare_tpu.train.trainer import Trainer
+
+    root = str(tmp_path_factory.mktemp("synth_fullcov"))
+    name = register_synthetic(
+        root, "synth_fullcov", num_images=6, image_size=(64, 80)
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 3
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 2
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.COVARIANCE_TYPE = "full"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 30
+    cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.BASE_LR = 1e-5
+    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.STEPS = (100, 200)
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("out_fullcov"))
+    cfg.SEED = 0
+
+    trainer = Trainer(cfg, mesh=create_mesh(2))
+    trainer.train(max_iter=2, log_period=1)
+    trainer.checkpointer.wait()
+    return cfg, name
+
+
+def test_full_covariance_nll_training(full_cov_setup):
+    """NLL box loss trains with the 10-param head (the reference CRASHES
+    on full+NLL — train/loss.py preserves its diagonal-slice semantics so
+    training works while matching what the reference's math uses)."""
+    cfg, _ = full_cov_setup
+    metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.jsonl")
+    assert os.path.isfile(metrics_file)
+    last = json.loads(open(metrics_file).read().strip().splitlines()[-1])
+    assert np.isfinite(last["total_loss"])
+
+
+def test_full_covariance_bayes_od_e2e(full_cov_setup):
+    """Trained full-covariance checkpoint → BayesOD fusion (full-matrix
+    inverses) → COCO json with 4x4 bbox_covar → probabilistic metrics."""
+    from pod_compare_tpu.cli.apply_net import run_inference
+
+    cfg, name = full_cov_setup
+    cfg2 = cfg.clone()
+    cfg2.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "bayes_od"
+    cfg2.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
+    cfg2.PROBABILISTIC_INFERENCE.BAYES_OD.BOX_MERGE_MODE = "bayesian_inference"
+    cfg2.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "bayesian_inference"
+
+    summary = run_inference(
+        cfg2, name, "bayes_od_fullcov", batch_size=2, verbose=False
+    )
+    with open(
+        os.path.join(summary["inference_output_dir"], "coco_instances_results.json")
+    ) as f:
+        results = json.load(f)
+    assert results, "no detections survived"
+    off_diag_seen = False
+    for r in results:
+        cov = np.asarray(r["bbox_covar"])
+        assert cov.shape == (4, 4)
+        assert np.isfinite(cov).all()
+        # symmetric up to f32 roundoff at the matrix's own scale (an
+        # untrained full-cov head produces ~1e6 variances)
+        np.testing.assert_allclose(
+            cov, cov.T, atol=1e-5 + 1e-6 * np.abs(cov).max()
+        )
+        if np.abs(cov - np.diag(np.diag(cov))).max() > 1e-8:
+            off_diag_seen = True
+    assert off_diag_seen, "full-covariance head produced no off-diagonals"
+    # metric chain ran end to end; values can legitimately be NaN for a
+    # 2-step-trained model whose raw covariances are ~1e6-scale and
+    # f32-non-PSD (the reference's torch MVN would refuse them outright —
+    # real trained heads produce conditioned matrices)
+    pm = summary["probabilistic_metrics"]
+    assert pm["num_true_positives"] + pm["num_false_positives"] > 0
+    assert "fp_reg_entropy" in pm and "tp_reg_ignorance" in pm

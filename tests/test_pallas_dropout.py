@@ -47,3 +47,65 @@ def test_gradient_matches_mask(rng):
     g = np.asarray(grads)
     assert (g[~mask] == 0).all()
     np.testing.assert_allclose(g[mask], 2.0 / 0.7, rtol=1e-5)
+
+
+def test_packed_dropout_distribution():
+    """packed_dropout (2 keep decisions per u32) has the same keep rate,
+    scaling, and mean-preservation as the bernoulli path."""
+    from pod_compare_tpu.ops.pallas.dropout import packed_dropout
+
+    x = jnp.ones((512, 256), jnp.float32)
+    rate = 0.2
+    out = np.asarray(packed_dropout(x, jax.random.PRNGKey(5), rate, lanes=2))
+    dropped = (out == 0).mean()
+    np.testing.assert_allclose(dropped, rate, atol=0.01)
+    kept = out[out != 0]
+    np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), atol=1e-5)
+    np.testing.assert_allclose(out.mean(), 1.0, atol=0.02)
+
+
+def test_packed_dropout_independent_lanes():
+    """Adjacent elements (sharing one u32) must still be independently
+    masked: the correlation of neighboring keep decisions is ~0."""
+    from pod_compare_tpu.ops.pallas.dropout import packed_dropout
+
+    x = jnp.ones((1, 1 << 16), jnp.float32)
+    out = np.asarray(
+        packed_dropout(x, jax.random.PRNGKey(7), 0.5, lanes=2)
+    ).ravel()
+    keep = (out != 0).astype(float)
+    lo, hi = keep[0::2], keep[1::2]
+    corr = np.corrcoef(lo, hi)[0, 1]
+    assert abs(corr) < 0.02, corr
+    # both sub-word lanes drop at the same rate
+    np.testing.assert_allclose(lo.mean(), 0.5, atol=0.02)
+    np.testing.assert_allclose(hi.mean(), 0.5, atol=0.02)
+
+
+def test_packed_dropout_odd_sizes_and_grad():
+    """Non-lane-divisible sizes pad/slice correctly; gradients follow the
+    mask through the packed path."""
+    from pod_compare_tpu.ops.pallas.dropout import packed_dropout
+
+    x = jnp.ones((7, 13, 5), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    out = packed_dropout(x, key, 0.3, lanes=2)
+    assert out.shape == x.shape
+    g = np.asarray(
+        jax.grad(lambda v: jnp.sum(packed_dropout(v, key, 0.3, lanes=2)))(x)
+    )
+    mask = np.asarray(out) != 0
+    assert (g[~mask] == 0).all()
+    np.testing.assert_allclose(g[mask], 1.0 / 0.7, rtol=1e-5)
+
+
+def test_dispatcher_packed_lane_selection():
+    """dropout(..., packed_lanes=2) routes to the packed path (stream
+    differs from bernoulli; statistics match)."""
+    x = jnp.ones((256, 128), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    a = np.asarray(dropout(x, key, 0.4, False, packed_lanes=2))
+    b = np.asarray(dropout(x, key, 0.4, False, packed_lanes=1))
+    assert (a != b).any()
+    np.testing.assert_allclose((a == 0).mean(), 0.4, atol=0.02)
+    np.testing.assert_allclose((b == 0).mean(), 0.4, atol=0.02)
