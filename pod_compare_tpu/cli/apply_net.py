@@ -95,11 +95,10 @@ def run_inference(
     start = time.time()
     profile_ctx = trace(inference_output_dir, enabled=profile)
     profile_ctx.__enter__()
-    for batch in loader:
-        rng, key = jax.random.split(rng)
-        dets = predictor(
-            batch["images"], batch["input_sizes"], batch["output_sizes"], key
-        )
+    def drain(pending):
+        """Host-side fetch + COCO-json conversion for one finished batch."""
+        nonlocal num_images
+        dets, batch = pending
         dets_np = jax.tree_util.tree_map(np.asarray, dets)
         for b in range(batch["images"].shape[0]):
             if not batch["batch_valid"][b]:
@@ -111,6 +110,21 @@ def run_inference(
                 )
             )
             num_images += 1
+
+    # One batch in flight: dispatch batch i+1 (async under jit), then do
+    # batch i's host fetch + JSON conversion while the device computes —
+    # host serialization rides under device time instead of after it.
+    pending = None
+    for batch in loader:
+        rng, key = jax.random.split(rng)
+        dets = predictor(
+            batch["images"], batch["input_sizes"], batch["output_sizes"], key
+        )
+        if pending is not None:
+            drain(pending)
+        pending = (dets, batch)
+    if pending is not None:
+        drain(pending)
     profile_ctx.__exit__(None, None, None)
     elapsed = time.time() - start
     logger.info(

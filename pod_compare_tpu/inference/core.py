@@ -12,7 +12,7 @@ reference becomes a static top-k with a validity mask. The per-image core
 vmaps over the batch axis.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +83,50 @@ def classification_probs(
     return jnp.mean(jax.nn.sigmoid(box_cls[None] + noise * std[None]), axis=0)
 
 
+def _topk_candidates(
+    scores_all: jnp.ndarray,
+    topk: int,
+    level_sizes: Optional[Sequence[int]],
+):
+    """Top-k candidate selection over anchor scores.
+
+    The reference selects top-k independently PER FPN LEVEL and
+    concatenates (`for i, anchors in enumerate(outputs['anchors'])` with
+    `num_topk = min(topk, level_size)` inside,
+    probabilistic_inference.py:283-308) — at BDD geometry that is up to
+    5x1000 candidates, not a single global 1000. With `level_sizes`
+    (static per-level anchor counts summing to R) this replicates that;
+    without, a single global top-k is used (callers operating on an
+    unstructured anchor set).
+    """
+    if level_sizes is None:
+        return jax.lax.top_k(scores_all, topk)
+    assert sum(level_sizes) == scores_all.shape[0], (
+        level_sizes, scores_all.shape)
+    scores_parts, idx_parts = [], []
+    start = 0
+    for n in level_sizes:
+        k = min(topk, int(n))
+        s, i = jax.lax.top_k(scores_all[start:start + n], k)
+        scores_parts.append(s)
+        idx_parts.append(i + start)
+        start += n
+    return jnp.concatenate(scores_parts), jnp.concatenate(idx_parts)
+
+
+def _pick_chunk(num_samples: int, num_candidates: int) -> int:
+    """Largest divisor of `num_samples` keeping a (chunk, C, 4) sample
+    buffer under ~2^21 elements, so the 1000-sample decode never
+    materializes (S, C, 4) for the full per-level candidate set."""
+    limit = max(1, (1 << 21) // max(4 * num_candidates, 1))
+    if num_samples <= limit:
+        return num_samples
+    for c in range(limit, 0, -1):
+        if num_samples % c == 0:
+            return c
+    return 1
+
+
 def probabilistic_inference_core(
     rng: jax.Array,
     anchors: jnp.ndarray,
@@ -97,6 +141,7 @@ def probabilistic_inference_core(
     cls_num_samples: int,
     box_num_samples: int,
     box_reg_weights=(1.0, 1.0, 1.0, 1.0),
+    level_sizes: Optional[Sequence[int]] = None,
 ) -> Candidates:
     """Single-image anchor-wise probabilistic inference.
 
@@ -108,9 +153,11 @@ def probabilistic_inference_core(
         box_cls_var/box_reg_var: optional (R, K) / (R, Ccov) heads.
         run_deltas: optional (M, R, 4) per-run deltas for epistemic box
             covariance across stochastic runs (reference: :322-331).
-        topk: static candidate count (min(1000, R) in the reference).
+        topk: static candidate count per level (1000 in the reference).
         box_num_samples: MVN delta samples for the sampled box decode
             (1000 in the reference, :355).
+        level_sizes: static per-level anchor counts for the reference's
+            per-level top-k (see `_topk_candidates`); None → global top-k.
     """
     rng_cls, rng_box = jax.random.split(rng)
     probs = classification_probs(rng_cls, box_cls, box_cls_var, cls_num_samples)
@@ -118,7 +165,7 @@ def probabilistic_inference_core(
     scores_all = jnp.max(probs, axis=1)  # (R,)
     classes_all = jnp.argmax(probs, axis=1).astype(jnp.int32)
 
-    top_scores, top_idx = jax.lax.top_k(scores_all, topk)
+    top_scores, top_idx = _topk_candidates(scores_all, topk, level_sizes)
     valid = top_scores > score_thresh
 
     sel_deltas = box_delta[top_idx]  # (C, 4)
@@ -138,16 +185,55 @@ def probabilistic_inference_core(
 
     if box_reg_var is not None:
         chol = covariance_output_to_cholesky(box_reg_var[top_idx])  # (C,4,4)
-        z = jax.random.normal(
-            rng_box, (box_num_samples,) + sel_deltas.shape, sel_deltas.dtype
-        )
-        delta_samples = sel_deltas[None] + jnp.einsum(
-            "cij,scj->sci", chol, z, precision="highest"
-        )
-        box_samples = jax.vmap(
-            lambda d: decode_deltas(d, sel_anchors, box_reg_weights)
-        )(delta_samples)
-        boxes, covs = sample_mean_covariance(box_samples)
+        num_cand = sel_deltas.shape[0]
+        chunk = _pick_chunk(box_num_samples, num_cand)
+        num_chunks = box_num_samples // chunk
+        # Residuals are accumulated against the deterministic decoded box
+        # so the streaming covariance sums stay small-magnitude (stable in
+        # fp32 even for 1000x4500-candidate sample banks).
+        center = decode_deltas(sel_deltas, sel_anchors, box_reg_weights)
+
+        def chunk_stats(key):
+            z = jax.random.normal(
+                key, (chunk,) + sel_deltas.shape, sel_deltas.dtype
+            )
+            delta_samples = sel_deltas[None] + jnp.einsum(
+                "cij,scj->sci", chol, z, precision="highest"
+            )
+            box_samples = jax.vmap(
+                lambda d: decode_deltas(d, sel_anchors, box_reg_weights)
+            )(delta_samples)
+            resid = box_samples - center[None]
+            return (
+                jnp.sum(resid, axis=0),
+                jnp.einsum("sci,scj->cij", resid, resid, precision="highest"),
+            )
+
+        if num_chunks == 1:
+            resid_sum, outer_sum = chunk_stats(rng_box)
+        else:
+            def body(carry, key):
+                rs, os = chunk_stats(key)
+                return (carry[0] + rs, carry[1] + os), None
+
+            keys = jax.random.split(rng_box, num_chunks)
+            (resid_sum, outer_sum), _ = jax.lax.scan(
+                body,
+                (
+                    jnp.zeros((num_cand, 4), sel_deltas.dtype),
+                    jnp.zeros((num_cand, 4, 4), sel_deltas.dtype),
+                ),
+                keys,
+            )
+        n = float(box_num_samples)
+        resid_mean = resid_sum / n
+        boxes = center + resid_mean
+        # Unbiased sample covariance (divisor S−1, matching
+        # compute_mean_covariance_torch, inference_utils.py:337-371).
+        covs = (
+            outer_sum
+            - n * jnp.einsum("ci,cj->cij", resid_mean, resid_mean)
+        ) / max(n - 1.0, 1.0)
         if epistemic_cov is not None:
             covs = covs + epistemic_cov
         has_cov = True

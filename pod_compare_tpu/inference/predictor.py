@@ -66,6 +66,11 @@ class ProbabilisticPredictor:
         self.model = build_model(cfg)
         gen = build_anchor_generator(cfg)
         self.anchors = jnp.asarray(gen.concatenated(self.image_size))
+        # Static per-level anchor counts: candidate top-k runs per FPN
+        # level, as in the reference (probabilistic_inference.py:283-308).
+        self.level_sizes = tuple(
+            a.shape[0] for a in gen.per_level(self.image_size)
+        )
 
         self.mode = cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE
         self.mc_enabled = bool(cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE)
@@ -90,9 +95,9 @@ class ProbabilisticPredictor:
     # ------------------------------------------------------------ internals
     def _core_kwargs(self):
         cfg = self.cfg
-        r = int(self.anchors.shape[0])
         return dict(
-            topk=min(int(cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST), r),
+            topk=int(cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST),
+            level_sizes=self.level_sizes,
             score_thresh=float(cfg.MODEL.RETINANET.SCORE_THRESH_TEST),
             cls_num_samples=int(
                 cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES
@@ -202,8 +207,13 @@ class ProbabilisticPredictor:
 
         def pipeline(params, images, rng, input_sizes, output_sizes):
             batch = images.shape[0]
-            outs, is_multi = self._member_outputs(params, images, rng)
-            img_keys = jax.random.split(rng, batch)
+            # Disjoint streams: `split(rng, num_runs)` (dropout keys inside
+            # _member_outputs) and `split(rng, batch)` would yield IDENTICAL
+            # key arrays whenever num_runs == batch, correlating dropout
+            # masks with per-image sampling. Fold into two branches first.
+            dropout_rng, sampling_rng = jax.random.split(rng)
+            outs, is_multi = self._member_outputs(params, images, dropout_rng)
+            img_keys = jax.random.split(sampling_rng, batch)
 
             if not post_nms_merge:
                 if is_multi:

@@ -187,14 +187,33 @@ def greedy_sequential_clusters(
         classes[:, None] == classes[None, :]
     )
     affinity = affinity & valid[None, :] & valid[:, None]
-
-    def body(claimed, i):
-        is_center = valid[i] & ~claimed[i]
-        row = affinity[i] & is_center
-        return claimed | row, (is_center, row)
-
     n = iou_matrix.shape[0]
-    _, (centers, members) = jax.lax.scan(
-        body, jnp.zeros((n,), bool), jnp.arange(n)
+
+    # while_loop jumping straight to the next unclaimed index: the
+    # sequential chain length is the number of CLUSTERS (dozens), not the
+    # number of detections (M runs x max_dets = 1000 for the MC post-NMS
+    # merge — an N-step scan made this the slowest inference mode).
+    def cond(state):
+        claimed, _, _ = state
+        return jnp.any(valid & ~claimed)
+
+    def body(state):
+        claimed, centers, members = state
+        i = jnp.argmax(valid & ~claimed)  # first unclaimed valid index
+        row = affinity[i]  # includes i itself (self-IoU = 1)
+        return (
+            claimed | row | (jnp.arange(n) == i),
+            centers.at[i].set(True),
+            members.at[i].set(row),
+        )
+
+    _, centers, members = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((n,), bool),
+            jnp.zeros((n,), bool),
+            jnp.zeros((n, n), bool),
+        ),
     )
     return centers, members

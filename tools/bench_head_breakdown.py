@@ -1,0 +1,182 @@
+"""Decompose BayesOD+MC-dropout batch time to target optimization
+(VERDICT round-1 item #4: MC head = 94% of batch at ~50% of conv ceiling).
+
+Times, with explicit host fetches (remote-tunnel rule: no bare
+block_until_ready), each as its own jitted program:
+  1. backbone only
+  2. backbone + MC head bank WITHOUT dropout   (pure conv path)
+  3. backbone + MC head bank WITH dropout      (production path)
+  4. dropout-mask generation alone at head activation volumes
+  5. full BayesOD pipeline
+
+(3)-(2) isolates the dropout cost inside the fused program; (4) bounds the
+threefry bill if masks fused perfectly. Prints one JSON dict.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BDD_CANVAS = (736, 1280)
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+RUNS = 10
+TRIALS = 6
+WARMUP = 4
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def timeit(name, fn, fetch, warmup=WARMUP, trials=TRIALS):
+    for _ in range(warmup):
+        out = fn()
+    _ = fetch(out)
+    t0 = time.time()
+    for _ in range(trials):
+        out = fn()
+    _ = fetch(out)
+    dt = (time.time() - t0) / trials
+    log(f"{name}: {dt * 1000:.1f} ms")
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pod_compare_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.models import build_model, init_model_params
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 7
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.2
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 10
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 1000
+
+    model = build_model(cfg)
+    params = init_model_params(model, BDD_CANVAS, seed=0)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(BATCH, *BDD_CANVAS, 3) * 255, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    report = {"batch": BATCH, "runs": RUNS}
+
+    # ---- 1. backbone
+    backbone = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, method="backbone")
+    )
+    report["backbone_ms"] = 1e3 * timeit(
+        "backbone", lambda: backbone(params, images),
+        lambda o: np.asarray(o[0][0, 0, 0, 0]),
+    )
+    feats = backbone(params, images)
+
+    # ---- 2. MC head bank without dropout (deterministic head, same vmap)
+    def head_bank_nodrop(p, f, k):
+        keys = jax.random.split(k, RUNS)
+        return jax.vmap(
+            lambda _: model.apply({"params": p}, f, True, method="forward_head")
+        )(keys)
+
+    j2 = jax.jit(head_bank_nodrop)
+    report["head_bank_nodropout_ms"] = 1e3 * timeit(
+        "head bank x10, no dropout", lambda: j2(params, feats, key),
+        lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
+    )
+
+    # ---- 3. MC head bank with dropout (production structure)
+    def head_bank_drop(p, f, k):
+        keys = jax.random.split(k, RUNS)
+        return jax.vmap(
+            lambda kk: model.apply(
+                {"params": p}, f, False, method="forward_head",
+                rngs={"dropout": kk},
+            )
+        )(keys)
+
+    j3 = jax.jit(head_bank_drop)
+    report["head_bank_dropout_ms"] = 1e3 * timeit(
+        "head bank x10, dropout", lambda: j3(params, feats, key),
+        lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
+    )
+
+    # ---- 4. dropout mask generation alone at the head's volumes
+    level_hw = [(f.shape[1], f.shape[2]) for f in feats]
+    compute_dtype = feats[0].dtype
+
+    def masks_only(k):
+        keys = jax.random.split(k, RUNS)
+
+        def one_run(kk):
+            total = jnp.zeros((), compute_dtype)
+            for li, (h, w) in enumerate(level_hw):
+                for tower in range(2):
+                    for conv in range(4):
+                        kk2 = jax.random.fold_in(kk, li * 100 + tower * 10 + conv)
+                        m = jax.random.bernoulli(kk2, 0.8, (BATCH, h, w, 256))
+                        total = total + m.astype(compute_dtype)[0, 0, 0, 0]
+            return total
+
+        return jax.vmap(one_run)(keys)
+
+    j4 = jax.jit(masks_only)
+    report["threefry_masks_only_ms"] = 1e3 * timeit(
+        "threefry masks alone", lambda: j4(key), lambda o: np.asarray(o[0]),
+    )
+
+    report["dropout_overhead_ms"] = (
+        report["head_bank_dropout_ms"] - report["head_bank_nodropout_ms"]
+    )
+
+    # ---- 4b. MC head bank with PACKED dropout (2 decisions per u32)
+    cfg_p = cfg.clone()
+    cfg_p.MODEL.PROBABILISTIC_MODELING.DROPOUT_PACKED_LANES = 2
+    model_p = build_model(cfg_p)
+
+    def head_bank_packed(p, f, k):
+        keys = jax.random.split(k, RUNS)
+        return jax.vmap(
+            lambda kk: model_p.apply(
+                {"params": p}, f, False, method="forward_head",
+                rngs={"dropout": kk},
+            )
+        )(keys)
+
+    j3p = jax.jit(head_bank_packed)
+    report["head_bank_packed_dropout_ms"] = 1e3 * timeit(
+        "head bank x10, packed dropout", lambda: j3p(params, feats, key),
+        lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
+    )
+
+    # ---- 5. full pipeline
+    from pod_compare_tpu.inference.predictor import build_predictor
+
+    cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "bayes_od"
+    cfg.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
+    cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = True
+    cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = RUNS
+    cfg.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "max_score"
+    cfg.PROBABILISTIC_INFERENCE.BAYES_OD.BOX_MERGE_MODE = "bayesian_inference"
+    predictor = build_predictor(cfg, BDD_CANVAS, params=params)
+    sizes = np.tile(np.array([720.0, 1280.0], np.float32), (BATCH, 1))
+    report["full_pipeline_ms"] = 1e3 * timeit(
+        "full bayes_od pipeline",
+        lambda: predictor(images, sizes, sizes, key),
+        lambda o: np.asarray(o.boxes[0, 0, 0]),
+    )
+    report["img_per_s"] = BATCH / (report["full_pipeline_ms"] / 1e3)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
