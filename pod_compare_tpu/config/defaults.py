@@ -85,11 +85,11 @@ def get_cfg() -> ConfigNode:
     _C.MODEL.PROBABILISTIC_MODELING = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.ANNEALING_STEP = 0
     _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.0
-    # keep decisions per random u32 in dropout mask generation (1 = plain
-    # bernoulli; 2 = packed 16-bit thresholds — see
-    # ops/pallas/dropout.py::packed_dropout). TPU-only perf knob; the
-    # distribution is identical to 2^-16 quantization.
-    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_PACKED_LANES = 1
+    # dropout mask-bit source: 'bernoulli' (threefry), 'packed2'/'packed4'
+    # (N keep decisions per threefry u32), 'rbg' (XLA RngBitGenerator) —
+    # see ops/pallas/dropout.py::dropout. Perf knob; identical
+    # distribution up to threshold quantization (2^-16 / 2^-8 / 2^-32).
+    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = "bernoulli"
     _C.MODEL.PROBABILISTIC_MODELING.MC_DROPOUT = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "none"

@@ -76,8 +76,11 @@ def anchor_statistics(
     keep = batched_nms(
         cands.boxes, cands.scores, cands.classes, cands.valid, nms_thresh, max_dets
     )
-    iou = pairwise_iou(cands.boxes, cands.boxes)
-    raw_members = (iou[keep.indices] > affinity_threshold) & cands.valid[None, :]
+    # IoU only of kept rows vs all candidates: (max_dets, C), not (C, C) —
+    # with per-level top-k C is ~4.5k at BDD geometry and the full matrix
+    # would be 20M entries/image
+    iou = pairwise_iou(cands.boxes[keep.indices], cands.boxes)
+    raw_members = (iou > affinity_threshold) & cands.valid[None, :]
     center_classes = cands.classes[keep.indices]
     class_match = cands.classes[None, :] == center_classes[:, None]
     member_mask = raw_members & class_match
@@ -120,8 +123,9 @@ def bayes_od(
     keep = batched_nms(
         cands.boxes, cands.scores, cands.classes, cands.valid, nms_thresh, max_dets
     )
-    iou = pairwise_iou(cands.boxes, cands.boxes)
-    cluster_mask = (iou[keep.indices] > affinity_threshold) & cands.valid[None, :]
+    # (max_dets, C) kept-vs-all IoU — see anchor_statistics note
+    iou = pairwise_iou(cands.boxes[keep.indices], cands.boxes)
+    cluster_mask = (iou > affinity_threshold) & cands.valid[None, :]
     center_classes = cands.classes[keep.indices]
     class_match = cands.classes[None, :] == center_classes[:, None]
     fusion_mask = cluster_mask & class_match

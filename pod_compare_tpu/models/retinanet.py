@@ -46,9 +46,9 @@ class ProbabilisticRetinaNetHead(nn.Module):
     num_convs: int = 4
     prior_prob: float = 0.01
     dropout_rate: float = 0.0
-    # random u32s shared across N keep decisions (ops/pallas/dropout.py::
-    # packed_dropout); 1 = plain bernoulli
-    dropout_packed_lanes: int = 1
+    # mask-bit source: 'bernoulli' | 'packed2' | 'packed4' | 'rbg'
+    # (ops/pallas/dropout.py::dropout)
+    dropout_impl: str = "bernoulli"
     compute_cls_var: bool = False
     compute_bbox_cov: bool = False
     bbox_cov_dims: int = 4
@@ -116,7 +116,7 @@ class ProbabilisticRetinaNetHead(nn.Module):
 
         return dropout(
             x, self.make_rng("dropout"), self.dropout_rate, False,
-            packed_lanes=self.dropout_packed_lanes,
+            impl=self.dropout_impl,
         )
 
     def _run_tower(self, convs, x, deterministic: bool, skip_first: bool = False):
@@ -229,7 +229,7 @@ class ProbabilisticRetinaNet(nn.Module):
     num_convs: int = 4
     prior_prob: float = 0.01
     dropout_rate: float = 0.0
-    dropout_packed_lanes: int = 1
+    dropout_impl: str = "bernoulli"
     compute_cls_var: bool = False
     compute_bbox_cov: bool = False
     bbox_cov_dims: int = 4
@@ -253,7 +253,7 @@ class ProbabilisticRetinaNet(nn.Module):
             num_convs=self.num_convs,
             prior_prob=self.prior_prob,
             dropout_rate=self.dropout_rate,
-            dropout_packed_lanes=self.dropout_packed_lanes,
+            dropout_impl=self.dropout_impl,
             compute_cls_var=self.compute_cls_var,
             compute_bbox_cov=self.compute_bbox_cov,
             bbox_cov_dims=self.bbox_cov_dims,
@@ -313,7 +313,7 @@ def build_model(cfg) -> ProbabilisticRetinaNet:
         num_convs=cfg.MODEL.RETINANET.NUM_CONVS,
         prior_prob=cfg.MODEL.RETINANET.PRIOR_PROB,
         dropout_rate=pm.DROPOUT_RATE,
-        dropout_packed_lanes=pm.DROPOUT_PACKED_LANES,
+        dropout_impl=pm.DROPOUT_IMPL,
         compute_cls_var=compute_cls_var,
         compute_bbox_cov=compute_bbox_cov,
         bbox_cov_dims=bbox_cov_dims,

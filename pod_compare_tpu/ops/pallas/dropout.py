@@ -128,11 +128,37 @@ def packed_dropout(
     sub_bits = 32 // lanes
     n_words = -(-n // lanes)
     bits = jax.random.bits(rng, (n_words,), jnp.uint32)
-    shifts = (jnp.arange(lanes, dtype=jnp.uint32) * sub_bits)[None, :]
-    sub = (bits[:, None] >> shifts) & jnp.uint32((1 << sub_bits) - 1)
     thresh = jnp.uint32(int(round(keep_prob * (1 << sub_bits))))
-    keep = (sub < thresh).reshape(-1)[:n].reshape(x.shape)
+    mask = jnp.uint32((1 << sub_bits) - 1)
+    # Lane l covers elements [l*n_words, (l+1)*n_words) — a plain
+    # element→bit bijection. Concatenating along the MAJOR axis keeps
+    # every intermediate 1-D: an interleaved (n_words, lanes) layout gets
+    # tile-padded lanes→128 on TPU (measured 32x HBM inflation → OOM).
+    keep = jnp.concatenate(
+        [((bits >> (l * sub_bits)) & mask) < thresh for l in range(lanes)]
+    )
+    keep = keep[:n].reshape(x.shape)
     return jnp.where(keep, x / keep_prob, 0).astype(x.dtype)
+
+
+def rbg_dropout(x: jnp.ndarray, rng: jax.Array, rate: float) -> jnp.ndarray:
+    """Dropout whose mask bits come from XLA's RngBitGenerator (Philox /
+    hardware-accelerated on TPU) instead of threefry ALU emulation — a
+    plain HLO op, so producer/consumer fusion with the surrounding convs
+    is preserved (unlike the pallas kernel above).
+
+    The (2,)-u32 threefry key (already layer/run-unique via flax rng
+    folding) seeds a 4-u32 rbg key; streams for distinct keys remain
+    distinct. Distribution: keep ~ Bernoulli(1-rate) to 2^-32.
+    """
+    keep_prob = 1.0 - rate
+    data = jax.random.key_data(rng).astype(jnp.uint32)  # (2,)
+    rbg_key = jax.random.wrap_key_data(
+        jnp.concatenate([data, data]), impl="rbg"
+    )
+    bits = jax.random.bits(rbg_key, x.shape, jnp.uint32)
+    thresh = jnp.uint32(min(int(keep_prob * (1 << 32)), (1 << 32) - 1))
+    return jnp.where(bits < thresh, x / keep_prob, 0).astype(x.dtype)
 
 
 def dropout(
@@ -140,22 +166,25 @@ def dropout(
     rng: jax.Array,
     rate: float,
     deterministic: bool,
-    use_hardware_prng: bool = False,
-    packed_lanes: int = 1,
+    impl: str = "bernoulli",
 ) -> jnp.ndarray:
     """Dropout dispatcher (see the fusion note above).
 
-    packed_lanes>1 selects the packed-bits threefry path,
-    use_hardware_prng=True the pallas kernel; default is plain bernoulli.
+    impl: 'bernoulli' (plain threefry), 'packed2'/'packed4' (N keep
+    decisions per threefry u32), 'rbg' (XLA RngBitGenerator), 'pallas'
+    (standalone hardware-PRNG kernel; breaks conv fusion — kept as a
+    measured negative result).
     """
     if deterministic or rate == 0.0:
         return x
-    if use_hardware_prng and jax.default_backend() == "tpu":
+    if impl == "pallas" and jax.default_backend() == "tpu":
         seed = jax.random.randint(
             rng, (), minval=-(2 ** 31), maxval=2 ** 31 - 1, dtype=jnp.int32
         )
         return hardware_dropout(x, seed, rate)
-    if packed_lanes > 1:
-        return packed_dropout(x, rng, rate, packed_lanes)
+    if impl == "rbg":
+        return rbg_dropout(x, rng, rate)
+    if impl.startswith("packed"):
+        return packed_dropout(x, rng, rate, int(impl[len("packed"):]))
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)

@@ -188,3 +188,83 @@ def test_black_box_merge_separated_runs(rng):
     d_boxes = np.asarray(det.boxes)[np.asarray(det.valid)]
     for b in m_boxes:
         assert np.abs(d_boxes + 1.0 - b).sum(1).min() < 0.5
+
+
+def test_per_level_topk_matches_reference_semantics(rng):
+    """_topk_candidates with level_sizes = per-level top-k concatenated in
+    level order (reference: probabilistic_inference.py:283-308); without =
+    one global top-k."""
+    import jax.numpy as jnp
+    from pod_compare_tpu.inference.core import _topk_candidates
+
+    scores = jnp.asarray(rng.rand(120).astype(np.float32))
+    level_sizes = (60, 40, 12, 8)
+    topk = 16
+
+    s, idx = _topk_candidates(scores, topk, level_sizes)
+    assert s.shape == (16 + 16 + 12 + 8,)
+    sc = np.asarray(scores)
+    start, out_start = 0, 0
+    for n in level_sizes:
+        k = min(topk, n)
+        expect_idx = start + np.argsort(-sc[start:start + n], kind="stable")[:k]
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(idx)[out_start:out_start + k]),
+            np.sort(expect_idx),
+        )
+        np.testing.assert_allclose(
+            np.asarray(s)[out_start:out_start + k], sc[expect_idx], rtol=1e-6
+        )
+        start += n
+        out_start += k
+
+    s_g, idx_g = _topk_candidates(scores, topk, None)
+    np.testing.assert_allclose(
+        np.asarray(s_g), np.sort(sc)[::-1][:topk], rtol=1e-6
+    )
+
+
+def test_pick_chunk_divides_and_bounds():
+    from pod_compare_tpu.inference.core import _pick_chunk
+
+    for samples, cands in [(1000, 4540), (1000, 254), (1000, 100000),
+                           (7, 3), (1, 1), (999, 10000)]:
+        chunk = _pick_chunk(samples, cands)
+        assert samples % chunk == 0, (samples, cands, chunk)
+        assert chunk >= 1
+        if chunk < samples:  # chunked: buffer bounded
+            assert chunk * cands * 4 <= (1 << 21) * 4
+
+
+def test_chunked_box_sampling_matches_unchunked(rng):
+    """The scan-accumulated sample mean/covariance must equal the one-shot
+    formulation statistically (same sample count, different stream)."""
+    import jax
+    import jax.numpy as jnp
+    from pod_compare_tpu.inference.core import probabilistic_inference_core
+
+    R, K = 600, 3  # large enough that 2048-sample chunking kicks in
+    anchors_xy = rng.rand(R, 2).astype(np.float32) * 200
+    anchors_wh = rng.rand(R, 2).astype(np.float32) * 30 + 20
+    anchors = np.concatenate([anchors_xy, anchors_xy + anchors_wh], 1)
+    box_cls = (rng.randn(R, K) - 2).astype(np.float32)
+    box_delta = (rng.randn(R, 4) * 0.1).astype(np.float32)
+    box_reg_var = (rng.randn(R, 4) * 0.2 - 3).astype(np.float32)
+
+    def run(samples, seed):
+        return probabilistic_inference_core(
+            jax.random.PRNGKey(seed), jnp.asarray(anchors),
+            jnp.asarray(box_cls), jnp.asarray(box_delta), None,
+            jnp.asarray(box_reg_var), None,
+            topk=600, score_thresh=0.0, cls_num_samples=2,
+            box_num_samples=samples,
+        )
+
+    a = run(8192, 0)  # chunked (8192 * 600 > 2^21)
+    b = run(8192, 1)
+    np.testing.assert_allclose(
+        np.asarray(a.boxes), np.asarray(b.boxes), rtol=0.05, atol=0.5
+    )
+    da = np.diagonal(np.asarray(a.covs), axis1=1, axis2=2)
+    db = np.diagonal(np.asarray(b.covs), axis1=1, axis2=2)
+    np.testing.assert_allclose(da, db, rtol=0.3, atol=0.3)

@@ -99,13 +99,29 @@ def test_packed_dropout_odd_sizes_and_grad():
     np.testing.assert_allclose(g[mask], 1.0 / 0.7, rtol=1e-5)
 
 
-def test_dispatcher_packed_lane_selection():
-    """dropout(..., packed_lanes=2) routes to the packed path (stream
-    differs from bernoulli; statistics match)."""
+def test_dispatcher_impl_selection():
+    """dropout(..., impl=...) routes to distinct streams with matched
+    statistics across all mask-bit sources."""
     x = jnp.ones((256, 128), jnp.float32)
     key = jax.random.PRNGKey(11)
-    a = np.asarray(dropout(x, key, 0.4, False, packed_lanes=2))
-    b = np.asarray(dropout(x, key, 0.4, False, packed_lanes=1))
-    assert (a != b).any()
-    np.testing.assert_allclose((a == 0).mean(), 0.4, atol=0.02)
-    np.testing.assert_allclose((b == 0).mean(), 0.4, atol=0.02)
+    outs = {
+        impl: np.asarray(dropout(x, key, 0.4, False, impl=impl))
+        for impl in ("bernoulli", "packed2", "packed4", "rbg")
+    }
+    for impl, a in outs.items():
+        np.testing.assert_allclose((a == 0).mean(), 0.4, atol=0.02, err_msg=impl)
+    assert (outs["packed2"] != outs["bernoulli"]).any()
+    assert (outs["rbg"] != outs["bernoulli"]).any()
+
+
+def test_rbg_dropout_distribution_and_keys():
+    """rbg mask bits: keep rate, scaling, and distinct streams per key."""
+    from pod_compare_tpu.ops.pallas.dropout import rbg_dropout
+
+    x = jnp.ones((512, 256), jnp.float32)
+    out = np.asarray(rbg_dropout(x, jax.random.PRNGKey(3), 0.2))
+    np.testing.assert_allclose((out == 0).mean(), 0.2, atol=0.01)
+    kept = out[out != 0]
+    np.testing.assert_allclose(kept, 1.0 / 0.8, atol=1e-5)
+    out2 = np.asarray(rbg_dropout(x, jax.random.PRNGKey(4), 0.2))
+    assert (out != out2).any()

@@ -14,8 +14,11 @@ threefry bill if masks fused perfectly. Prints one JSON dict.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -109,53 +112,34 @@ def main():
         lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
     )
 
-    # ---- 4. dropout mask generation alone at the head's volumes
-    level_hw = [(f.shape[1], f.shape[2]) for f in feats]
-    compute_dtype = feats[0].dtype
-
-    def masks_only(k):
-        keys = jax.random.split(k, RUNS)
-
-        def one_run(kk):
-            total = jnp.zeros((), compute_dtype)
-            for li, (h, w) in enumerate(level_hw):
-                for tower in range(2):
-                    for conv in range(4):
-                        kk2 = jax.random.fold_in(kk, li * 100 + tower * 10 + conv)
-                        m = jax.random.bernoulli(kk2, 0.8, (BATCH, h, w, 256))
-                        total = total + m.astype(compute_dtype)[0, 0, 0, 0]
-            return total
-
-        return jax.vmap(one_run)(keys)
-
-    j4 = jax.jit(masks_only)
-    report["threefry_masks_only_ms"] = 1e3 * timeit(
-        "threefry masks alone", lambda: j4(key), lambda o: np.asarray(o[0]),
-    )
-
     report["dropout_overhead_ms"] = (
         report["head_bank_dropout_ms"] - report["head_bank_nodropout_ms"]
     )
 
-    # ---- 4b. MC head bank with PACKED dropout (2 decisions per u32)
-    cfg_p = cfg.clone()
-    cfg_p.MODEL.PROBABILISTIC_MODELING.DROPOUT_PACKED_LANES = 2
-    model_p = build_model(cfg_p)
+    # ---- 4. MC head bank with each alternative mask-bit source
+    for impl in ("packed2", "packed4", "rbg"):
+        cfg_v = cfg.clone()
+        cfg_v.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = impl
+        model_v = build_model(cfg_v)
 
-    def head_bank_packed(p, f, k):
-        keys = jax.random.split(k, RUNS)
-        return jax.vmap(
-            lambda kk: model_p.apply(
-                {"params": p}, f, False, method="forward_head",
-                rngs={"dropout": kk},
+        def head_bank_variant(p, f, k, _m=model_v):
+            keys = jax.random.split(k, RUNS)
+            return jax.vmap(
+                lambda kk: _m.apply(
+                    {"params": p}, f, False, method="forward_head",
+                    rngs={"dropout": kk},
+                )
+            )(keys)
+
+        jv = jax.jit(head_bank_variant)
+        try:
+            report[f"head_bank_{impl}_ms"] = 1e3 * timeit(
+                f"head bank x10, {impl}", lambda: jv(params, feats, key),
+                lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
             )
-        )(keys)
-
-    j3p = jax.jit(head_bank_packed)
-    report["head_bank_packed_dropout_ms"] = 1e3 * timeit(
-        "head bank x10, packed dropout", lambda: j3p(params, feats, key),
-        lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
-    )
+        except Exception as exc:  # e.g. rbg vmap lowering unsupported
+            log(f"{impl} FAILED: {exc}")
+            report[f"head_bank_{impl}_ms"] = None
 
     # ---- 5. full pipeline
     from pod_compare_tpu.inference.predictor import build_predictor
