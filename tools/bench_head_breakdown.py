@@ -141,6 +141,70 @@ def main():
             log(f"{impl} FAILED: {exc}")
             report[f"head_bank_{impl}_ms"] = None
 
+    # ---- 4c. candidate-core stages on synthetic head outputs
+    from pod_compare_tpu.inference.core import (
+        classification_probs,
+        probabilistic_inference_core,
+    )
+    from pod_compare_tpu.models import build_anchor_generator
+
+    gen = build_anchor_generator(cfg)
+    anchors = jnp.asarray(gen.concatenated(BDD_CANVAS))
+    level_sizes = tuple(a.shape[0] for a in gen.per_level(BDD_CANVAS))
+    R = anchors.shape[0]
+    rngs = np.random.RandomState(1)
+    box_cls = jnp.asarray(rngs.randn(BATCH, R, 7).astype(np.float32) - 3)
+    box_delta = jnp.asarray(rngs.randn(BATCH, R, 4).astype(np.float32) * 0.1)
+    box_cls_var = jnp.asarray(rngs.randn(BATCH, R, 7).astype(np.float32) - 6)
+    box_reg_var = jnp.asarray(rngs.randn(BATCH, R, 4).astype(np.float32) - 4)
+
+    def cls_sampling(k, bc, bv):
+        keys = jax.random.split(k, BATCH)
+        return jax.vmap(
+            lambda kk, c, v: classification_probs(kk, c, v, 10)
+        )(keys, bc, bv)
+
+    jc = jax.jit(cls_sampling)
+    report["core_cls_sampling_ms"] = 1e3 * timeit(
+        "core: cls prob sampling x10",
+        lambda: jc(key, box_cls, box_cls_var),
+        lambda o: np.asarray(o[0, 0, 0]),
+    )
+
+    def topk_only(probs_in):
+        from pod_compare_tpu.inference.core import _topk_candidates
+
+        def one(p):
+            scores_all = jnp.max(p, axis=1)
+            return _topk_candidates(scores_all, 1000, level_sizes)
+
+        return jax.vmap(one)(probs_in)
+
+    probs = jc(key, box_cls, box_cls_var)
+    jt = jax.jit(topk_only)
+    report["core_per_level_topk_ms"] = 1e3 * timeit(
+        "core: per-level top-k",
+        lambda: jt(probs),
+        lambda o: np.asarray(o[0][0, 0]),
+    )
+
+    def core_full(k, bc, bd, bv, rv):
+        keys = jax.random.split(k, BATCH)
+        return jax.vmap(
+            lambda kk, c, d, v, r: probabilistic_inference_core(
+                kk, anchors, c, d, v, r, None,
+                topk=1000, score_thresh=0.05, cls_num_samples=10,
+                box_num_samples=1000, level_sizes=level_sizes,
+            )
+        )(keys, bc, bd, bv, rv)
+
+    jf = jax.jit(core_full)
+    report["core_full_ms"] = 1e3 * timeit(
+        "core: full candidate core",
+        lambda: jf(key, box_cls, box_delta, box_cls_var, box_reg_var),
+        lambda o: np.asarray(o.boxes[0, 0, 0]),
+    )
+
     # ---- 5. full pipeline
     from pod_compare_tpu.inference.predictor import build_predictor
 
