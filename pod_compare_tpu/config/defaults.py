@@ -104,9 +104,25 @@ def get_cfg() -> ConfigNode:
     _C.PROBABILISTIC_INFERENCE = ConfigNode()
     _C.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
     _C.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.7
+    # Monte-Carlo implementation of the two sampling stages of the
+    # candidate core (inference/core.py):
+    #   'mc_iid'    exact reference semantics (iid sample banks)
+    #   'mc_shared' sample bank shared across anchors/candidates —
+    #               identical per-candidate marginals, ~R× fewer
+    #               random bits (threefry is ALU-bound on TPU)
+    #   'analytic'  closed-form S→∞ moments (Gauss-Hermite sigmoid
+    #               expectation / lognormal decode moments) — deterministic
+    _C.PROBABILISTIC_INFERENCE.CLS_SAMPLING = "mc_iid"
+    _C.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "mc_iid"
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT = ConfigNode()
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = False
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 1
+    # Share each MC run's dropout mask across the inference batch (B×
+    # fewer threefry bits; every image's marginal output law is unchanged
+    # — masks are iid per element within an image either way, and the
+    # reference runs batch=1 so cross-image correlation has no reference
+    # semantics to preserve). Training always uses per-sample masks.
+    _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.BATCH_SHARED_MASKS = True
     _C.PROBABILISTIC_INFERENCE.BAYES_OD = ConfigNode()
     _C.PROBABILISTIC_INFERENCE.BAYES_OD.BOX_MERGE_MODE = "bayesian_inference"
     _C.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "bayesian_inference"

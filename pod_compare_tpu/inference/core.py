@@ -16,8 +16,9 @@ from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from pod_compare_tpu.ops.boxes import decode_deltas
+from pod_compare_tpu.ops.boxes import decode_deltas, decoded_box_moments
 from pod_compare_tpu.ops.gaussian import (
     covariance_output_to_cholesky,
     sample_mean_covariance,
@@ -72,14 +73,39 @@ def classification_probs(
     box_cls: jnp.ndarray,
     box_cls_var: Optional[jnp.ndarray],
     num_samples: int,
+    impl: str = "mc_iid",
 ) -> jnp.ndarray:
-    """Mean sigmoid probability, MC-sampled from the logit Gaussian when a
-    classification variance head exists (reference:
-    probabilistic_inference.py:289-297)."""
+    """Mean sigmoid probability under the logit Gaussian when a
+    classification variance head exists (reference MC-samples this,
+    probabilistic_inference.py:289-297).
+
+    impl:
+        'mc_iid'    — `num_samples` iid normals per (anchor, class); exact
+                      reference semantics.
+        'mc_shared' — one bank of `num_samples` normals shared across
+                      anchors. Identical per-anchor marginal law (samples
+                      are still iid draws from each anchor's own logit
+                      Gaussian); only the cross-anchor correlation of the
+                      Monte-Carlo error changes — R×K fewer random bits.
+        'analytic'  — exact E[sigmoid(z)], z~N(logit, var), via 32-node
+                      Gauss-Hermite quadrature (the S→∞ limit of both MC
+                      modes; deterministic, no RNG at all; ≤1e-4 absolute
+                      error for σ up to ~5).
+    """
     if box_cls_var is None:
         return jax.nn.sigmoid(box_cls)
     std = jnp.sqrt(jnp.exp(box_cls_var))
-    noise = jax.random.normal(rng, (num_samples,) + box_cls.shape, box_cls.dtype)
+    if impl == "analytic":
+        nodes, weights = np.polynomial.hermite.hermgauss(32)
+        nodes = jnp.asarray(np.sqrt(2.0) * nodes, box_cls.dtype)
+        weights = jnp.asarray(weights / np.sqrt(np.pi), box_cls.dtype)
+        z = box_cls[None] + nodes[:, None, None] * std[None]
+        return jnp.einsum("s,sak->ak", weights, jax.nn.sigmoid(z))
+    if impl == "mc_shared":
+        noise_shape = (num_samples,) + (1,) * (box_cls.ndim - 1) + box_cls.shape[-1:]
+    else:
+        noise_shape = (num_samples,) + box_cls.shape
+    noise = jax.random.normal(rng, noise_shape, box_cls.dtype)
     return jnp.mean(jax.nn.sigmoid(box_cls[None] + noise * std[None]), axis=0)
 
 
@@ -142,6 +168,8 @@ def probabilistic_inference_core(
     box_num_samples: int,
     box_reg_weights=(1.0, 1.0, 1.0, 1.0),
     level_sizes: Optional[Sequence[int]] = None,
+    cls_sampling: str = "mc_iid",
+    box_sampling: str = "mc_iid",
 ) -> Candidates:
     """Single-image anchor-wise probabilistic inference.
 
@@ -158,9 +186,17 @@ def probabilistic_inference_core(
             (1000 in the reference, :355).
         level_sizes: static per-level anchor counts for the reference's
             per-level top-k (see `_topk_candidates`); None → global top-k.
+        cls_sampling: see `classification_probs`.
+        box_sampling: 'mc_iid' (reference-exact iid sample bank),
+            'mc_shared' (one standardized-normal bank shared across
+            candidates — per-candidate marginal law unchanged), or
+            'analytic' (closed-form decode moments via
+            `decoded_box_moments`; no sampling).
     """
     rng_cls, rng_box = jax.random.split(rng)
-    probs = classification_probs(rng_cls, box_cls, box_cls_var, cls_num_samples)
+    probs = classification_probs(
+        rng_cls, box_cls, box_cls_var, cls_num_samples, impl=cls_sampling
+    )
 
     scores_all = jnp.max(probs, axis=1)  # (R,)
     classes_all = jnp.argmax(probs, axis=1).astype(jnp.int32)
@@ -183,7 +219,18 @@ def probabilistic_inference_core(
         )(sel_run_deltas)
         _, epistemic_cov = sample_mean_covariance(run_boxes)
 
-    if box_reg_var is not None:
+    if box_reg_var is not None and box_sampling == "analytic":
+        chol = covariance_output_to_cholesky(box_reg_var[top_idx])  # (C,4,4)
+        delta_cov = jnp.einsum(
+            "cij,ckj->cik", chol, chol, precision="highest"
+        )
+        boxes, covs = decoded_box_moments(
+            sel_deltas, delta_cov, sel_anchors, box_reg_weights
+        )
+        if epistemic_cov is not None:
+            covs = covs + epistemic_cov
+        has_cov = True
+    elif box_reg_var is not None:
         chol = covariance_output_to_cholesky(box_reg_var[top_idx])  # (C,4,4)
         num_cand = sel_deltas.shape[0]
         chunk = _pick_chunk(box_num_samples, num_cand)
@@ -194,12 +241,18 @@ def probabilistic_inference_core(
         center = decode_deltas(sel_deltas, sel_anchors, box_reg_weights)
 
         def chunk_stats(key):
-            z = jax.random.normal(
-                key, (chunk,) + sel_deltas.shape, sel_deltas.dtype
-            )
-            delta_samples = sel_deltas[None] + jnp.einsum(
-                "cij,scj->sci", chol, z, precision="highest"
-            )
+            if box_sampling == "mc_shared":
+                z = jax.random.normal(key, (chunk, 4), sel_deltas.dtype)
+                delta_samples = sel_deltas[None] + jnp.einsum(
+                    "cij,sj->sci", chol, z, precision="highest"
+                )
+            else:
+                z = jax.random.normal(
+                    key, (chunk,) + sel_deltas.shape, sel_deltas.dtype
+                )
+                delta_samples = sel_deltas[None] + jnp.einsum(
+                    "cij,scj->sci", chol, z, precision="highest"
+                )
             box_samples = jax.vmap(
                 lambda d: decode_deltas(d, sel_anchors, box_reg_weights)
             )(delta_samples)

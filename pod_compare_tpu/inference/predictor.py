@@ -106,6 +106,8 @@ class ProbabilisticPredictor:
                 cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES
             ),
             box_reg_weights=tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS),
+            cls_sampling=cfg.PROBABILISTIC_INFERENCE.CLS_SAMPLING,
+            box_sampling=cfg.PROBABILISTIC_INFERENCE.BOX_SAMPLING,
         )
 
     def _mode_fn(self) -> Callable:
@@ -185,9 +187,12 @@ class ProbabilisticPredictor:
             # 611 ms/batch; this: 457 ms/batch) — XLA's batched lowering of
             # the plain vmap fuses backbone-output -> head conv best.
             keys = jax.random.split(rng, self.num_runs)
+            shared_masks = bool(
+                self.cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.BATCH_SHARED_MASKS
+            )
             outs = jax.vmap(
                 lambda k: model.apply(
-                    {"params": params}, feats, False,
+                    {"params": params}, feats, False, shared_masks,
                     method="forward_head", rngs={"dropout": k},
                 )
             )(keys)

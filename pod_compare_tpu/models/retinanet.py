@@ -109,23 +109,30 @@ class ProbabilisticRetinaNetHead(nn.Module):
             getattr(self, f"{prefix}_conv{i}") for i in range(self.num_convs)
         ]
 
-    def _dropout(self, x):
+    def _dropout(self, x, shared_batch: bool = False):
         # Threefry dropout stays inside the XLA graph (see
         # ops/pallas/dropout.py for the fusion measurement).
         from pod_compare_tpu.ops.pallas.dropout import dropout
 
         return dropout(
             x, self.make_rng("dropout"), self.dropout_rate, False,
-            impl=self.dropout_impl,
+            impl=self.dropout_impl, shared_batch=shared_batch,
         )
 
-    def _run_tower(self, convs, x, deterministic: bool, skip_first: bool = False):
+    def _run_tower(
+        self,
+        convs,
+        x,
+        deterministic: bool,
+        skip_first: bool = False,
+        mask_shared_batch: bool = False,
+    ):
         use_dropout = self.dropout_rate > 0.0 and not deterministic
         for i, conv in enumerate(convs):
             if not (skip_first and i == 0):
                 x = nn.relu(conv(x))
             if use_dropout:
-                x = self._dropout(x)
+                x = self._dropout(x, shared_batch=mask_shared_batch)
         return x
 
     def _flatten(self, x, k):
@@ -158,14 +165,23 @@ class ProbabilisticRetinaNetHead(nn.Module):
         }
 
     def __call__(
-        self, features: Sequence[jnp.ndarray], deterministic: bool = True
+        self,
+        features: Sequence[jnp.ndarray],
+        deterministic: bool = True,
+        mask_shared_batch: bool = False,
     ) -> Dict[str, Optional[jnp.ndarray]]:
         cls_tower = self._tower("cls_subnet")
         box_tower = self._tower("bbox_subnet")
         logits, deltas, logit_vars, cov_params = [], [], [], []
         for f in features:
-            c = self._run_tower(cls_tower, f, deterministic)
-            b = self._run_tower(box_tower, f, deterministic)
+            c = self._run_tower(
+                cls_tower, f, deterministic,
+                mask_shared_batch=mask_shared_batch,
+            )
+            b = self._run_tower(
+                box_tower, f, deterministic,
+                mask_shared_batch=mask_shared_batch,
+            )
             logits.append(self._flatten(self.cls_score(c), self.num_classes))
             deltas.append(self._flatten(self.bbox_pred(b), 4))
             if self.compute_cls_var:
@@ -197,18 +213,29 @@ class ProbabilisticRetinaNetHead(nn.Module):
         box_prefix = [nn.relu(box_tower[0](f)) for f in features]
         return cls_prefix, box_prefix
 
-    def rest(self, prefix_pair, deterministic: bool = False):
+    def rest(
+        self,
+        prefix_pair,
+        deterministic: bool = False,
+        mask_shared_batch: bool = False,
+    ):
         """Per-run remainder: dropout + convs 1..n + output convs. vmap
         this over dropout keys for the MC bank."""
         cls_prefix, box_prefix = prefix_pair
         cls_tower = self._tower("cls_subnet")
         box_tower = self._tower("bbox_subnet")
         cls_feats = [
-            self._run_tower(cls_tower, p, deterministic, skip_first=True)
+            self._run_tower(
+                cls_tower, p, deterministic, skip_first=True,
+                mask_shared_batch=mask_shared_batch,
+            )
             for p in cls_prefix
         ]
         box_feats = [
-            self._run_tower(box_tower, p, deterministic, skip_first=True)
+            self._run_tower(
+                box_tower, p, deterministic, skip_first=True,
+                mask_shared_batch=mask_shared_batch,
+            )
             for p in box_prefix
         ]
         return self._outputs(cls_feats, box_feats)
@@ -274,9 +301,16 @@ class ProbabilisticRetinaNet(nn.Module):
         return [feats[f] for f in self.in_features]
 
     def forward_head(
-        self, features: Sequence[jnp.ndarray], deterministic: bool = True
+        self,
+        features: Sequence[jnp.ndarray],
+        deterministic: bool = True,
+        mask_shared_batch: bool = False,
     ) -> Dict[str, Optional[jnp.ndarray]]:
-        return self.head(features, deterministic=deterministic)
+        return self.head(
+            features,
+            deterministic=deterministic,
+            mask_shared_batch=mask_shared_batch,
+        )
 
     def head_prefix(self, features: Sequence[jnp.ndarray]):
         """Shared MC prefix (see ProbabilisticRetinaNetHead.prefix)."""

@@ -121,6 +121,95 @@ def decode_deltas(
     )
 
 
+def decoded_box_moments(
+    deltas: jnp.ndarray,
+    cov: jnp.ndarray,
+    anchors: jnp.ndarray,
+    weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form mean and covariance of decoded boxes under a Gaussian
+    delta distribution — the S→∞ limit of the reference's 1000-sample
+    Monte-Carlo decode (probabilistic_inference.py:344-374, which draws
+    MVN delta samples, decodes each, and takes the sample mean/covariance).
+
+    With d = (dx,dy,dw,dh) ~ N(μ, Σ) the decoded box is affine in
+    (dx, dy, exp(dw), exp(dh)); every first/second moment of that vector
+    is analytic (Gaussian/lognormal cross-moments):
+        E[exp(dw)]            = exp(μw + Σww/2)
+        cov(dx, exp(dw))      = Σxw · E[exp(dw)]
+        cov(exp(dw), exp(dh)) = E[exp(dw)]·E[exp(dh)]·(exp(Σwh) − 1)
+    so the whole sample bank collapses to O(C) elementwise math — the
+    TPU-native replacement for a memory-bound (S, C, 4) pipeline. The
+    decode's SCALE_CLAMP is ignored here: it sits ~40σ out for trained
+    heads, so the censored-moment correction is far below the reference's
+    own Monte-Carlo noise floor (~3% at S=1000).
+
+    Args:
+        deltas: (..., 4) mean deltas μ (raw head output scale).
+        cov: (..., 4, 4) delta covariance Σ (e.g. chol @ cholᵀ).
+        anchors: (..., 4) XYXY anchors.
+        weights: Box2Box transform weights.
+    Returns:
+        (mean_boxes (..., 4) XYXY, box_covs (..., 4, 4)).
+    """
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + 0.5 * aw
+    ay = anchors[..., 1] + 0.5 * ah
+
+    w = jnp.asarray(weights, deltas.dtype)
+    m = deltas / w  # (..., 4) scaled means
+    s = cov / (w[:, None] * w[None, :])  # (..., 4, 4) scaled covariance
+
+    mx, my, mw, mh = (m[..., i] for i in range(4))
+    sxx, syy = s[..., 0, 0], s[..., 1, 1]
+    sww, shh = s[..., 2, 2], s[..., 3, 3]
+    sxy, sxw, sxh = s[..., 0, 1], s[..., 0, 2], s[..., 0, 3]
+    syw, syh, swh = s[..., 1, 2], s[..., 1, 3], s[..., 2, 3]
+
+    ew = jnp.exp(mw + 0.5 * sww)  # E[exp(dw)]
+    eh = jnp.exp(mh + 0.5 * shh)
+
+    # Moments of t = (px, py, pw, ph) = (ax + aw·dx, ay + ah·dy,
+    # aw·exp(dw), ah·exp(dh)).
+    t_mean = jnp.stack([ax + aw * mx, ay + ah * my, aw * ew, ah * eh], -1)
+    c00 = aw * aw * sxx
+    c01 = aw * ah * sxy
+    c02 = aw * aw * sxw * ew
+    c03 = aw * ah * sxh * eh
+    c11 = ah * ah * syy
+    c12 = ah * aw * syw * ew
+    c13 = ah * ah * syh * eh
+    c22 = aw * aw * ew * ew * jnp.expm1(sww)
+    c23 = aw * ah * ew * eh * jnp.expm1(swh)
+    c33 = ah * ah * eh * eh * jnp.expm1(shh)
+    t_cov = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02, c03], -1),
+            jnp.stack([c01, c11, c12, c13], -1),
+            jnp.stack([c02, c12, c22, c23], -1),
+            jnp.stack([c03, c13, c23, c33], -1),
+        ],
+        -2,
+    )
+
+    # Box corners are affine in t: b = A t.
+    a_mat = jnp.asarray(
+        [
+            [1.0, 0.0, -0.5, 0.0],
+            [0.0, 1.0, 0.0, -0.5],
+            [1.0, 0.0, 0.5, 0.0],
+            [0.0, 1.0, 0.0, 0.5],
+        ],
+        deltas.dtype,
+    )
+    mean_boxes = jnp.einsum("ij,...j->...i", a_mat, t_mean)
+    box_covs = jnp.einsum(
+        "ij,...jk,lk->...il", a_mat, t_cov, a_mat, precision="highest"
+    )
+    return mean_boxes, box_covs
+
+
 def decode_delta_samples(
     delta_samples: jnp.ndarray,
     anchors: jnp.ndarray,

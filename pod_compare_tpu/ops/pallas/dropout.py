@@ -113,7 +113,11 @@ hardware_dropout.defvjp(_hw_dropout_fwd, _hw_dropout_bwd)
 # fully-fused conv+dropout kernel; the default dispatcher keeps dropout
 # inside the XLA graph.
 def packed_dropout(
-    x: jnp.ndarray, rng: jax.Array, rate: float, lanes: int = 2
+    x: jnp.ndarray,
+    rng: jax.Array,
+    rate: float,
+    lanes: int = 2,
+    mask_shape=None,
 ) -> jnp.ndarray:
     """Dropout with `lanes` keep decisions per random u32 (sub-word
     thresholds), halving/quartering the threefry ALU bill that dominates
@@ -124,7 +128,9 @@ def packed_dropout(
     rate 0.2) — far below any measurable distributional difference.
     """
     keep_prob = 1.0 - rate
-    n = x.size
+    if mask_shape is None:
+        mask_shape = x.shape
+    n = int(np_prod(mask_shape))
     sub_bits = 32 // lanes
     n_words = -(-n // lanes)
     bits = jax.random.bits(rng, (n_words,), jnp.uint32)
@@ -137,11 +143,20 @@ def packed_dropout(
     keep = jnp.concatenate(
         [((bits >> (l * sub_bits)) & mask) < thresh for l in range(lanes)]
     )
-    keep = keep[:n].reshape(x.shape)
+    keep = keep[:n].reshape(mask_shape)
     return jnp.where(keep, x / keep_prob, 0).astype(x.dtype)
 
 
-def rbg_dropout(x: jnp.ndarray, rng: jax.Array, rate: float) -> jnp.ndarray:
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
+def rbg_dropout(
+    x: jnp.ndarray, rng: jax.Array, rate: float, mask_shape=None
+) -> jnp.ndarray:
     """Dropout whose mask bits come from XLA's RngBitGenerator (Philox /
     hardware-accelerated on TPU) instead of threefry ALU emulation — a
     plain HLO op, so producer/consumer fusion with the surrounding convs
@@ -156,7 +171,9 @@ def rbg_dropout(x: jnp.ndarray, rng: jax.Array, rate: float) -> jnp.ndarray:
     rbg_key = jax.random.wrap_key_data(
         jnp.concatenate([data, data]), impl="rbg"
     )
-    bits = jax.random.bits(rbg_key, x.shape, jnp.uint32)
+    bits = jax.random.bits(
+        rbg_key, x.shape if mask_shape is None else mask_shape, jnp.uint32
+    )
     thresh = jnp.uint32(min(int(keep_prob * (1 << 32)), (1 << 32) - 1))
     return jnp.where(bits < thresh, x / keep_prob, 0).astype(x.dtype)
 
@@ -167,6 +184,7 @@ def dropout(
     rate: float,
     deterministic: bool,
     impl: str = "bernoulli",
+    shared_batch: bool = False,
 ) -> jnp.ndarray:
     """Dropout dispatcher (see the fusion note above).
 
@@ -174,17 +192,30 @@ def dropout(
     decisions per threefry u32), 'rbg' (XLA RngBitGenerator), 'pallas'
     (standalone hardware-PRNG kernel; breaks conv fusion — kept as a
     measured negative result).
+
+    shared_batch: draw ONE mask of shape (1, *x.shape[1:]) and broadcast
+    it over the leading (batch) axis — B× fewer random bits. Each batch
+    element's marginal output distribution is unchanged (the mask is iid
+    per element within an image either way); only cross-image mask
+    correlation is introduced, which no per-image statistic observes.
+    Used by the MC-dropout inference bank; training keeps per-sample
+    masks.
     """
     if deterministic or rate == 0.0:
         return x
+    mask_shape = (1,) + x.shape[1:] if shared_batch and x.ndim > 1 else None
     if impl == "pallas" and jax.default_backend() == "tpu":
         seed = jax.random.randint(
             rng, (), minval=-(2 ** 31), maxval=2 ** 31 - 1, dtype=jnp.int32
         )
         return hardware_dropout(x, seed, rate)
     if impl == "rbg":
-        return rbg_dropout(x, rng, rate)
+        return rbg_dropout(x, rng, rate, mask_shape=mask_shape)
     if impl.startswith("packed"):
-        return packed_dropout(x, rng, rate, int(impl[len("packed"):]))
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        return packed_dropout(
+            x, rng, rate, int(impl[len("packed"):]), mask_shape=mask_shape
+        )
+    keep = jax.random.bernoulli(
+        rng, 1.0 - rate, x.shape if mask_shape is None else mask_shape
+    )
     return jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)

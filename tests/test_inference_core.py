@@ -29,14 +29,16 @@ def make_synthetic(rng, num_anchors=60, num_classes=5, with_vars=True):
     )
 
 
-def run_core(rng_np, with_vars=True, run_deltas=None, **kw):
+def run_core(rng_np, with_vars=True, run_deltas=None, rng_key=None, **kw):
     anchors, cls, delta, cvar, rvar = make_synthetic(rng_np, with_vars=with_vars)
     kwargs = dict(
         topk=32, score_thresh=0.05, cls_num_samples=10, box_num_samples=200
     )
     kwargs.update(kw)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
     return C.probabilistic_inference_core(
-        jax.random.PRNGKey(0), anchors, cls, delta, cvar, rvar, run_deltas,
+        rng_key, anchors, cls, delta, cvar, rvar, run_deltas,
         **kwargs,
     ), anchors
 

@@ -345,13 +345,31 @@ def test_anchor_statistics_pipeline_parity_exact(dataset, torch_state, tmp_path)
     assert_metrics_close(our_metrics, oracle_metrics, rel=0.005)
 
 
-def test_bayes_od_pipeline_parity_statistical(dataset, torch_state, tmp_path):
+@pytest.mark.parametrize(
+    "cls_sampling,box_sampling",
+    [
+        ("mc_iid", "mc_iid"),
+        ("mc_shared", "mc_shared"),
+        ("analytic", "analytic"),
+    ],
+)
+def test_bayes_od_pipeline_parity_statistical(
+    dataset, torch_state, tmp_path, cls_sampling, box_sampling
+):
     """Full probabilistic model (cls-var + box-cov heads) through BayesOD
     (probabilistic_inference.py:536-636): stochastic sampling with enough
-    samples that both stacks land within the 0.5% parity bar."""
+    samples that both stacks land within the 0.5% parity bar.
+
+    Parametrized over the TPU-native sampling implementations
+    (PROBABILISTIC_INFERENCE.{CLS,BOX}_SAMPLING): the shared-bank and
+    closed-form variants must land inside the SAME statistical band
+    against the reference-semantics sampled oracle, since all three
+    converge to the same S→∞ limit."""
     name, gt, images = dataset
     cfg = base_cfg()
     sd = temper_prob_heads(torch_state, images, cfg)
+    cfg.PROBABILISTIC_INFERENCE.CLS_SAMPLING = cls_sampling
+    cfg.PROBABILISTIC_INFERENCE.BOX_SAMPLING = box_sampling
     cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
     cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 512
     cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = (
