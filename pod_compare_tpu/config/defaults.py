@@ -112,8 +112,13 @@ def get_cfg() -> ConfigNode:
     #               random bits (threefry is ALU-bound on TPU)
     #   'analytic'  closed-form S→∞ moments (Gauss-Hermite sigmoid
     #               expectation / lognormal decode moments) — deterministic
-    _C.PROBABILISTIC_INFERENCE.CLS_SAMPLING = "mc_iid"
-    _C.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "mc_iid"
+    # Default 'analytic': the exact value both MC modes estimate, with no
+    # sampling noise and no RNG cost (v5e batch-16 candidate core: 76 ms
+    # mc_iid / 34 ms mc_shared / 21 ms analytic). Metric parity vs the
+    # reference's sampled pipeline is asserted in-band for all three
+    # (tests/test_pipeline_parity.py).
+    _C.PROBABILISTIC_INFERENCE.CLS_SAMPLING = "analytic"
+    _C.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "analytic"
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT = ConfigNode()
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = False
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 1

@@ -229,6 +229,8 @@ class TestLoader:
     image, flagged via `batch_valid` (reference: build_detection_test_loader
     + apply_net.py batch=1 — here batched and device-resident)."""
 
+    __test__ = False  # "Test" = test-set loader, not a pytest class
+
     def __init__(
         self,
         dataset: DatasetInfo,

@@ -119,6 +119,40 @@ class ProbabilisticRetinaNetHead(nn.Module):
             impl=self.dropout_impl, shared_batch=shared_batch,
         )
 
+    def _all_masks(self, features, mask_shared_batch: bool):
+        """All dropout keep-masks for one forward in 2*num_convs fused RNG
+        draws — one per (tower, layer), each covering every FPN level.
+
+        Per-conv draws cost ~1.5 ms of fixed per-op overhead on v5e (80
+        ops -> ~120 ms); ONE flat draw for everything OOMs instead (the
+        full uniform buffer plus every padded bool slice stay live at
+        once). One draw per tower-layer (8 ops) amortizes the overhead
+        while keeping each layer's mask working set ~50 MB. Shared-batch
+        masks are drawn WITHOUT the batch axis — (H, W, C) broadcasting
+        against (B, H, W, C) — because a size-1 leading dim gets
+        tile-padded ~8x by the TPU layout (measured 345 MB per bool
+        slice). Returns masks[level][tower][layer], or None when the impl
+        manages its own stream ('pallas')."""
+        if self.dropout_impl == "pallas":
+            return None
+        from pod_compare_tpu.ops.pallas.dropout import tower_dropout_masks
+
+        def level_shape(f):
+            hw = (f.shape[1], f.shape[2], self.channels)
+            return hw if mask_shared_batch else (f.shape[0],) + hw
+
+        shapes = [level_shape(f) for f in features]
+        masks = [[[None] * self.num_convs for _ in range(2)] for _ in features]
+        for tower in range(2):
+            for layer in range(self.num_convs):
+                per_level = tower_dropout_masks(
+                    self.make_rng("dropout"), shapes, self.dropout_rate,
+                    impl=self.dropout_impl, dtype=self.dtype,
+                )
+                for li in range(len(features)):
+                    masks[li][tower][layer] = per_level[li]
+        return masks
+
     def _run_tower(
         self,
         convs,
@@ -126,13 +160,19 @@ class ProbabilisticRetinaNetHead(nn.Module):
         deterministic: bool,
         skip_first: bool = False,
         mask_shared_batch: bool = False,
+        masks=None,
     ):
+        from pod_compare_tpu.ops.pallas.dropout import apply_mask
+
         use_dropout = self.dropout_rate > 0.0 and not deterministic
         for i, conv in enumerate(convs):
             if not (skip_first and i == 0):
                 x = nn.relu(conv(x))
             if use_dropout:
-                x = self._dropout(x, shared_batch=mask_shared_batch)
+                if masks is not None:
+                    x = apply_mask(x, masks[i], self.dropout_rate)
+                else:
+                    x = self._dropout(x, shared_batch=mask_shared_batch)
         return x
 
     def _flatten(self, x, k):
@@ -172,15 +212,21 @@ class ProbabilisticRetinaNetHead(nn.Module):
     ) -> Dict[str, Optional[jnp.ndarray]]:
         cls_tower = self._tower("cls_subnet")
         box_tower = self._tower("bbox_subnet")
+        use_dropout = self.dropout_rate > 0.0 and not deterministic
+        masks = (
+            self._all_masks(features, mask_shared_batch) if use_dropout else None
+        )
         logits, deltas, logit_vars, cov_params = [], [], [], []
-        for f in features:
+        for li, f in enumerate(features):
             c = self._run_tower(
                 cls_tower, f, deterministic,
                 mask_shared_batch=mask_shared_batch,
+                masks=None if masks is None else masks[li][0],
             )
             b = self._run_tower(
                 box_tower, f, deterministic,
                 mask_shared_batch=mask_shared_batch,
+                masks=None if masks is None else masks[li][1],
             )
             logits.append(self._flatten(self.cls_score(c), self.num_classes))
             deltas.append(self._flatten(self.bbox_pred(b), 4))
@@ -224,19 +270,26 @@ class ProbabilisticRetinaNetHead(nn.Module):
         cls_prefix, box_prefix = prefix_pair
         cls_tower = self._tower("cls_subnet")
         box_tower = self._tower("bbox_subnet")
+        use_dropout = self.dropout_rate > 0.0 and not deterministic
+        masks = (
+            self._all_masks(cls_prefix, mask_shared_batch)
+            if use_dropout else None
+        )
         cls_feats = [
             self._run_tower(
                 cls_tower, p, deterministic, skip_first=True,
                 mask_shared_batch=mask_shared_batch,
+                masks=None if masks is None else masks[li][0],
             )
-            for p in cls_prefix
+            for li, p in enumerate(cls_prefix)
         ]
         box_feats = [
             self._run_tower(
                 box_tower, p, deterministic, skip_first=True,
                 mask_shared_batch=mask_shared_batch,
+                masks=None if masks is None else masks[li][1],
             )
-            for p in box_prefix
+            for li, p in enumerate(box_prefix)
         ]
         return self._outputs(cls_feats, box_feats)
 
@@ -316,9 +369,14 @@ class ProbabilisticRetinaNet(nn.Module):
         """Shared MC prefix (see ProbabilisticRetinaNetHead.prefix)."""
         return self.head.prefix(features)
 
-    def forward_head_rest(self, prefix_pair, deterministic: bool = False):
+    def forward_head_rest(
+        self,
+        prefix_pair,
+        deterministic: bool = False,
+        mask_shared_batch: bool = False,
+    ):
         """Per-run MC remainder (vmap over dropout keys)."""
-        return self.head.rest(prefix_pair, deterministic)
+        return self.head.rest(prefix_pair, deterministic, mask_shared_batch)
 
     def __call__(
         self, images: jnp.ndarray, deterministic: bool = True

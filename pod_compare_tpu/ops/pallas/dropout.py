@@ -178,6 +178,84 @@ def rbg_dropout(
     return jnp.where(bits < thresh, x / keep_prob, 0).astype(x.dtype)
 
 
+def tower_dropout_masks(
+    rng: jax.Array,
+    shapes,
+    rate: float,
+    impl: str = "bernoulli",
+    dtype=None,
+):
+    """Fused RNG draw for a set of dropout masks (e.g. one head layer
+    across every FPN level).
+
+    Per-conv mask draws dominate the MC-dropout head profile (v5e:
+    403 ms/bank vs 35 ms of actual conv work); drawing each layer's bits
+    flat and slicing amortizes the op overhead, and the packed/rbg bit
+    sources cut the ALU bill itself. Distribution: every element is an
+    independent keep decision either way.
+
+    Args:
+        rng: one key for this draw.
+        shapes: mask shape per dropout application, in application order.
+        rate: drop probability.
+        impl: 'bernoulli' (f32 uniforms, exact threefry), 'packedN' (N keep
+            decisions per u32; the keep probability is quantized to
+            2^-(32/N) — the returned scale uses the QUANTIZED probability
+            so E[output] == input exactly), or 'rbg' (XLA RngBitGenerator).
+        dtype: when given, return masks as premultiplied SCALE tensors
+            (0 or 1/keep) in this dtype — a multiply in the conv epilogue,
+            avoiding bool-select lowering and i1 layout padding. When
+            None, return bool keep-masks.
+    Returns:
+        List of masks, one per application.
+    """
+    keep_prob = 1.0 - rate
+    sizes = [int(np_prod(s)) for s in shapes]
+    total = sum(sizes)
+    if impl.startswith("packed"):
+        lanes = int(impl[len("packed"):])
+        sub_bits = 32 // lanes
+        n_words = -(-total // lanes)
+        bits = jax.random.bits(rng, (n_words,), jnp.uint32)
+        ithresh = int(round(keep_prob * (1 << sub_bits)))
+        thresh = jnp.uint32(ithresh)
+        submask = jnp.uint32((1 << sub_bits) - 1)
+        keep_flat = jnp.concatenate(
+            [((bits >> (l * sub_bits)) & submask) < thresh for l in range(lanes)]
+        )[:total]
+        actual_keep = ithresh / (1 << sub_bits)
+    elif impl == "rbg":
+        data = jax.random.key_data(rng).astype(jnp.uint32)
+        rbg_key = jax.random.wrap_key_data(
+            jnp.concatenate([data, data]), impl="rbg"
+        )
+        bits = jax.random.bits(rbg_key, (total,), jnp.uint32)
+        thresh = jnp.uint32(min(int(keep_prob * (1 << 32)), (1 << 32) - 1))
+        keep_flat = bits < thresh
+        actual_keep = keep_prob
+    else:
+        keep_flat = jax.random.bernoulli(rng, keep_prob, (total,))
+        actual_keep = keep_prob
+    if dtype is not None:
+        keep_flat = jnp.where(
+            keep_flat, jnp.asarray(1.0 / actual_keep, dtype),
+            jnp.asarray(0.0, dtype),
+        )
+    masks, off = [], 0
+    for s, size in zip(shapes, sizes):
+        masks.append(jax.lax.slice_in_dim(keep_flat, off, off + size).reshape(s))
+        off += size
+    return masks
+
+
+def apply_mask(x: jnp.ndarray, mask: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Apply a precomputed mask (broadcasts over leading axes): bool
+    keep-masks select-and-scale; scale masks are a plain multiply."""
+    if mask.dtype == jnp.bool_:
+        return jnp.where(mask, x / (1.0 - rate), 0).astype(x.dtype)
+    return (x * mask.astype(x.dtype)).astype(x.dtype)
+
+
 def dropout(
     x: jnp.ndarray,
     rng: jax.Array,

@@ -22,6 +22,7 @@ statistically (SURVEY.md §7 'stochastic parity').
 """
 
 import math
+import warnings
 
 import numpy as np
 import torch
@@ -148,10 +149,12 @@ def anchorwise_inference_np(
             var = outputs["box_cls_var"][lvl].astype(np.float64)
             std = np.sqrt(np.exp(var))
             z = rng.randn(cls_num_samples, *box_cls.shape)
-            probs = 1.0 / (1.0 + np.exp(-(box_cls[None] + z * std[None])))
+            with np.errstate(over="ignore"):
+                probs = 1.0 / (1.0 + np.exp(-(box_cls[None] + z * std[None])))
             probs = probs.mean(0)
         else:
-            probs = 1.0 / (1.0 + np.exp(-box_cls))
+            with np.errstate(over="ignore"):
+                probs = 1.0 / (1.0 + np.exp(-box_cls))
 
         num_topk = min(topk, box_delta.shape[0])
         predicted_prob = probs.max(1)
@@ -349,17 +352,21 @@ def black_box_ensembles_np(
     for members in clusters:
         bc = boxes[members]
         cc = covs[members]
-        if bc.shape[0] >= 2:
-            mean = bc.mean(0)
-            resid = bc - mean
-            cov = np.einsum("ni,nj->ij", resid, resid) / (bc.shape[0] - 1)
-            cov = cov + cc.mean(0)
-        else:
-            mean = bc.mean(0)
-            cov = cc.mean(0)
+        # Empty clusters (all-zero padding boxes) mirror the reference's
+        # nan means; silence the numpy chatter, keep the nans.
+        with warnings.catch_warnings(), np.errstate(invalid="ignore"):
+            warnings.simplefilter("ignore", RuntimeWarning)
+            if bc.shape[0] >= 2:
+                mean = bc.mean(0)
+                resid = bc - mean
+                cov = np.einsum("ni,nj->ij", resid, resid) / (bc.shape[0] - 1)
+                cov = cov + cc.mean(0)
+            else:
+                mean = bc.mean(0)
+                cov = cc.mean(0)
+            out_pv.append(prob_vec[members].mean(0))
         out_boxes.append(mean)
         out_covs.append(cov)
-        out_pv.append(prob_vec[members].mean(0))
 
     if not out_boxes:
         return (np.zeros((0, 4)), np.zeros((0, 4, 4)), np.zeros((0,)),

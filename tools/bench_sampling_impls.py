@@ -76,21 +76,34 @@ def main():
     )
     feats = backbone(params, images)
 
-    for shared, tag in ((False, "iid_masks"), (True, "shared_masks")):
-        def head_bank(p, f, k, _s=shared):
+    # iid masks in the vmapped bank OOM at batch 16 with the per-layer
+    # fused draws ((10, B*5M) f32 uniforms per layer): the bank always
+    # runs batch-shared in production (MC_DROPOUT.BATCH_SHARED_MASKS);
+    # the iid bank number from the per-conv-draw era is 403 ms.
+    for impl in ("bernoulli", "packed2", "packed4", "rbg"):
+        cfg_v = cfg.clone()
+        cfg_v.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = impl
+        model_v = build_model(cfg_v)
+
+        def head_bank(p, f, k, _m=model_v):
             keys = jax.random.split(k, RUNS)
             return jax.vmap(
-                lambda kk: model.apply(
-                    {"params": p}, f, False, _s,
+                lambda kk: _m.apply(
+                    {"params": p}, f, False, True,
                     method="forward_head", rngs={"dropout": kk},
                 )
             )(keys)
 
         jf = jax.jit(head_bank)
-        report[f"head_bank_{tag}_ms"] = 1e3 * timeit(
-            f"head bank x10, {tag}", lambda: jf(params, feats, key),
-            lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
-        )
+        try:
+            report[f"head_bank_shared_{impl}_ms"] = 1e3 * timeit(
+                f"head bank x10, shared masks, {impl}",
+                lambda: jf(params, feats, key),
+                lambda o: np.asarray(o["box_cls"][0, 0, 0, 0]),
+            )
+        except Exception as exc:
+            log(f"{impl} FAILED: {exc}")
+            report[f"head_bank_shared_{impl}_ms"] = None
 
     # ---- candidate core variants on synthetic head outputs
     gen = build_anchor_generator(cfg)
