@@ -57,6 +57,7 @@ def run_inference(
     verbose: bool = True,
     mesh=None,
     profile: bool = False,
+    min_allowed_score=None,
 ):
     """Run the full inference + evaluation pipeline; returns a summary dict."""
     logger = setup_logger(name="pod_compare_tpu.apply_net")
@@ -150,11 +151,16 @@ def run_inference(
         summary["AP50"] = float(stats[1])
         summary["optimal_score_threshold"] = threshold
     if run_metrics:
+        # --min-allowed-score overrides the optimal-F1 threshold read from
+        # mAP_res.txt, as in the reference (setup.py:58-74 /
+        # compute_probabilistic_metrics.py:54-66).
         summary["probabilistic_metrics"] = evaluate_probabilistic_metrics(
-            inference_output_dir, test_dataset, train_dataset, verbose=verbose
+            inference_output_dir, test_dataset, train_dataset,
+            min_allowed_score=min_allowed_score, verbose=verbose,
         )
         summary["calibration_errors"] = evaluate_calibration_errors(
-            inference_output_dir, test_dataset, train_dataset, verbose=verbose
+            inference_output_dir, test_dataset, train_dataset,
+            min_allowed_score=min_allowed_score, verbose=verbose,
         )
     return summary
 
@@ -169,6 +175,7 @@ def main(args, batch_size: int = 8, profile: bool = False):
     summary = run_inference(
         cfg, test_dataset, inference_name, batch_size=batch_size,
         profile=profile,
+        min_allowed_score=args.min_allowed_score or None,
     )
     # Copy the inference config next to its artifacts for provenance
     # (reference: apply_net.py:48-51).

@@ -167,6 +167,24 @@ def decoded_box_moments(
     sxy, sxw, sxh = s[..., 0, 1], s[..., 0, 2], s[..., 0, 3]
     syw, syh, swh = s[..., 1, 2], s[..., 1, 3], s[..., 2, 3]
 
+    # Saturation guard: the sampled pipeline clamps every drawn dw/dh at
+    # SCALE_CLAMP, so exp() never overflows even for degenerate heads
+    # (untrained full-cov heads emit ~1e6 log-variances). Mirror that by
+    # clamping the scaled log-size mean and, PSD-safely, its variance:
+    # scale the whole w (resp. h) row/column of s by sqrt(cap/s_ww) so
+    # |s_iw| <= sqrt(s_ii * s_ww) keeps holding. Inactive for trained
+    # heads (sigma ~ 0.01-0.3 << cap).
+    _VAR_CLAMP = 2.0
+    mw = jnp.minimum(mw, SCALE_CLAMP)
+    mh = jnp.minimum(mh, SCALE_CLAMP)
+    fw = jnp.sqrt(_VAR_CLAMP / jnp.maximum(sww, _VAR_CLAMP))
+    fh = jnp.sqrt(_VAR_CLAMP / jnp.maximum(shh, _VAR_CLAMP))
+    sww = sww * fw * fw
+    shh = shh * fh * fh
+    swh = swh * fw * fh
+    sxw, syw = sxw * fw, syw * fw
+    sxh, syh = sxh * fh, syh * fh
+
     ew = jnp.exp(mw + 0.5 * sww)  # E[exp(dw)]
     eh = jnp.exp(mh + 0.5 * shh)
 

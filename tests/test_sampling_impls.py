@@ -67,6 +67,40 @@ def test_decoded_box_moments_vs_mc_oracle(rng):
     )
 
 
+def test_decoded_box_moments_degenerate_variances_stay_finite(rng):
+    """Untrained full-cov heads emit ~1e6 log-size variances; the sampled
+    pipeline saturates at SCALE_CLAMP per draw, and the analytic path must
+    likewise stay finite (PSD-safe variance clamp) instead of overflowing
+    exp()."""
+    anchors = jnp.asarray([[10.0, 10.0, 50.0, 50.0]] * 3)
+    mu = jnp.asarray([[0.0, 0.0, 0.0, 0.0],
+                      [0.1, -0.1, 20.0, 0.2],
+                      [0.0, 0.0, 0.0, 0.0]])
+    cov = jnp.stack([
+        jnp.diag(jnp.asarray([0.01, 0.01, 1e6, 1e6])),
+        jnp.diag(jnp.asarray([1e3, 1e3, 1e3, 1e3])),
+        jnp.diag(jnp.asarray([0.01, 0.01, 0.02, 0.02])),
+    ])
+    mean, bc = decoded_box_moments(mu, cov, anchors)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(bc)).all()
+    # PSD survives the clamp (eigvals >= ~0 up to roundoff).
+    eig = np.linalg.eigvalsh(np.asarray(bc, np.float64))
+    assert (eig > -1e-3 * np.abs(eig).max()).all()
+    # The well-conditioned candidate is untouched by the guard: matches
+    # the exact closed form.
+    s = 0.02
+    ew = np.exp(0.5 * s)
+    aw = 40.0
+    expected_var_pw = aw * aw * ew * ew * np.expm1(s)
+    got = np.asarray(bc)[2]
+    # var(pw) maps to corner covariance entries via A; check total spread
+    np.testing.assert_allclose(
+        got[0, 0] + got[2, 2] - 2 * got[0, 2],
+        expected_var_pw, rtol=1e-5,
+    )
+
+
 def test_classification_probs_analytic_vs_quadrature_oracle(rng):
     """16-node Gauss-Hermite == high-order float64 quadrature of
     E[sigmoid(z)], z ~ N(logit, var) (the limit the reference's 10-sample
