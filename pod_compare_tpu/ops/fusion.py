@@ -192,28 +192,27 @@ def greedy_sequential_clusters(
     # while_loop jumping straight to the next unclaimed index: the
     # sequential chain length is the number of CLUSTERS (dozens), not the
     # number of detections (M runs x max_dets = 1000 for the MC post-NMS
-    # merge — an N-step scan made this the slowest inference mode).
+    # merge — an N-step scan made this the slowest inference mode). Only
+    # small (n,) vectors ride in the loop state: a center's membership is
+    # just its affinity row, so `members` is reconstructed afterwards
+    # instead of dynamic-updating an (n, n) buffer inside the loop.
     def cond(state):
-        claimed, _, _ = state
+        claimed, _ = state
         return jnp.any(valid & ~claimed)
 
     def body(state):
-        claimed, centers, members = state
+        claimed, centers = state
         i = jnp.argmax(valid & ~claimed)  # first unclaimed valid index
         row = affinity[i]  # includes i itself (self-IoU = 1)
         return (
             claimed | row | (jnp.arange(n) == i),
             centers.at[i].set(True),
-            members.at[i].set(row),
         )
 
-    _, centers, members = jax.lax.while_loop(
+    _, centers = jax.lax.while_loop(
         cond,
         body,
-        (
-            jnp.zeros((n,), bool),
-            jnp.zeros((n,), bool),
-            jnp.zeros((n, n), bool),
-        ),
+        (jnp.zeros((n,), bool), jnp.zeros((n,), bool)),
     )
+    members = affinity & centers[:, None]
     return centers, members
