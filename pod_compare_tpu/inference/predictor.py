@@ -258,34 +258,58 @@ class ProbabilisticPredictor:
             else:
                 # Post-NMS merge: per-run standard NMS then black-box fusion
                 # (reference: probabilistic_inference.py:444-481, 506-534).
+                # Every (image, run) unit is independent through core+NMS,
+                # so the (batch × runs) axes are FLATTENED into one vmap —
+                # the same single-level structure as the pre-NMS modes. (A
+                # nested vmap(batch)·vmap(runs) formulation kernel-faults
+                # the v5e worker at batch 8; the flat form is also what the
+                # other modes already compile.)
                 assert is_multi
+                num_runs = outs["box_cls"].shape[0]
+                batch_size = outs["box_cls"].shape[1]
 
-                def per_image(key, cls_mi, delta_mi, cvar_mi, rvar_mi):
-                    run_keys = jax.random.split(key, cls_mi.shape[0])
+                def to_units(x):
+                    # (M, B, ...) -> (B*M, ...), image-major so each
+                    # image's runs stay contiguous and run-ordered.
+                    if x is None:
+                        return None
+                    x = jnp.swapaxes(x, 0, 1)
+                    return x.reshape((batch_size * num_runs,) + x.shape[2:])
 
-                    def per_run(k, cls_i, delta_i, cvar_i, rvar_i):
-                        cands = probabilistic_inference_core(
-                            k, anchors, cls_i, delta_i, cvar_i, rvar_i,
-                            None, **core_kwargs,
-                        )
-                        return M.standard_nms(cands, nms_thresh, max_dets)
-
-                    runs = jax.vmap(per_run, in_axes=(0, 0, 0, _ax(cvar_mi), _ax(rvar_mi)))(
-                        run_keys, cls_mi, delta_mi, cvar_mi, rvar_mi
-                    )
-                    # (M, D, ...) -> run-major concatenation (M*D, ...)
-                    flat = jax.tree_util.tree_map(
-                        lambda x: x.reshape((-1,) + x.shape[2:]), runs
-                    )
-                    return M.black_box_merge(flat, nms_thresh, max_dets, affinity)
-
-                dets = jax.vmap(per_image, in_axes=(0, 1, 1, _ax1(outs["box_cls_var"]), _ax1(outs["box_reg_var"])))(
-                    img_keys,
-                    outs["box_cls"],
-                    outs["box_delta"],
-                    outs["box_cls_var"],
-                    outs["box_reg_var"],
+                unit_keys = jax.vmap(
+                    lambda k: jax.random.split(k, num_runs)
+                )(img_keys).reshape(
+                    (batch_size * num_runs,) + img_keys.shape[1:]
                 )
+
+                def per_unit(k, cls_i, delta_i, cvar_i, rvar_i):
+                    cands = probabilistic_inference_core(
+                        k, anchors, cls_i, delta_i, cvar_i, rvar_i,
+                        None, **core_kwargs,
+                    )
+                    return M.standard_nms(cands, nms_thresh, max_dets)
+
+                units = jax.vmap(
+                    per_unit,
+                    in_axes=(0, 0, 0, _ax(outs["box_cls_var"]), _ax(outs["box_reg_var"])),
+                )(
+                    unit_keys,
+                    to_units(outs["box_cls"]),
+                    to_units(outs["box_delta"]),
+                    to_units(outs["box_cls_var"]),
+                    to_units(outs["box_reg_var"]),
+                )
+                # (B*M, D, ...) -> (B, M*D, ...): run-major member order
+                # per image, matching the reference's concatenation.
+                per_image_members = jax.tree_util.tree_map(
+                    lambda x: x.reshape(
+                        (batch_size, num_runs * x.shape[1]) + x.shape[2:]
+                    ),
+                    units,
+                )
+                dets = jax.vmap(
+                    lambda d: M.black_box_merge(d, nms_thresh, max_dets, affinity)
+                )(per_image_members)
 
             return jax.vmap(detector_postprocess)(
                 dets,
