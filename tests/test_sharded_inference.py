@@ -65,6 +65,46 @@ def test_sharded_matches_single_device():
     assert len(shard_devices) == 4
 
 
+def test_sharded_post_nms_merge_matches_single_device():
+    """The flattened (image, run) unit axis of the post-NMS MC-dropout
+    merge must shard over the data mesh without cross-device traffic:
+    units are image-major, so each device's batch shard owns its own
+    units. Deterministic comparison via analytic sampling + a fixed key."""
+    cfg = make_cfg()
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.2
+    cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "mc_dropout_ensembles"
+    cfg.PROBABILISTIC_INFERENCE.ENSEMBLES_DROPOUT.BOX_MERGE_MODE = "post_nms"
+    cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = True
+    cfg.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 3
+    cfg.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
+
+    model = build_model(cfg)
+    params = init_model_params(model, IMAGE_SIZE, seed=0)
+    images = jnp.asarray(
+        np.random.RandomState(1).rand(BATCH, *IMAGE_SIZE, 3) * 255, jnp.float32
+    )
+    sizes = np.tile(np.asarray(IMAGE_SIZE, np.float32), (BATCH, 1))
+    key = jax.random.PRNGKey(7)
+
+    single = build_predictor(cfg, IMAGE_SIZE, params=params)
+    d_single = single(images, sizes, sizes, key)
+
+    mesh = create_mesh(4)
+    sharded = build_predictor(cfg, IMAGE_SIZE, params=params, mesh=mesh)
+    d_sharded = sharded(images, sizes, sizes, key)
+
+    v1, v2 = np.asarray(d_single.valid), np.asarray(d_sharded.valid)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(d_single.boxes)[v1], np.asarray(d_sharded.boxes)[v2],
+        atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_single.scores)[v1], np.asarray(d_sharded.scores)[v2],
+        atol=1e-4,
+    )
+
+
 def test_ensemble_member_axis_sharding():
     """Ensembles over a ('member', 'data') mesh: member params sharded on
     their own axis; results match the single-device ensemble pipeline."""
