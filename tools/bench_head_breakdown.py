@@ -1,16 +1,22 @@
-"""Decompose BayesOD+MC-dropout batch time to target optimization
-(VERDICT round-1 item #4: MC head = 94% of batch at ~50% of conv ceiling).
+"""Decompose BayesOD+MC-dropout batch time (per-stage jitted timings).
+
+CAUTION — (2) "no-dropout bank" is a CSE ARTIFACT, not a baseline: a
+vmapped bank of DETERMINISTIC head passes is deduplicated by XLA into ONE
+pass, so (3)-(2) wildly overstates "dropout cost". Round 1 misread this
+as the head running at 50% of the conv ceiling; the real bank is
+roofline-bound (~89% of the measured bf16 conv ceiling — DESIGN.md §5).
+Kept for the per-stage numbers; use tools/bench_sampling_impls.py for
+the production head-bank/core measurements.
 
 Times, with explicit host fetches (remote-tunnel rule: no bare
 block_until_ready), each as its own jitted program:
   1. backbone only
-  2. backbone + MC head bank WITHOUT dropout   (pure conv path)
+  2. backbone + MC head bank WITHOUT dropout   (CSE's to ONE pass — see above)
   3. backbone + MC head bank WITH dropout      (production path)
   4. dropout-mask generation alone at head activation volumes
   5. full BayesOD pipeline
 
-(3)-(2) isolates the dropout cost inside the fused program; (4) bounds the
-threefry bill if masks fused perfectly. Prints one JSON dict.
+Prints one JSON dict.
 """
 
 import json
