@@ -48,11 +48,16 @@ def static_canvas(
 
 
 def load_image_bgr(path: str) -> np.ndarray:
-    """(H, W, 3) float32 BGR image (the reference's INPUT.FORMAT)."""
+    """(H, W, 3) uint8 BGR image (the reference's INPUT.FORMAT).
+
+    Kept uint8 through resize/pad/batch — 4x less host memory and
+    host->device traffic than a float pipeline; normalization casts to
+    the compute dtype INSIDE the jitted graph (models/retinanet.py
+    ::normalize). detectron2's DatasetMapper likewise resizes uint8."""
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
-    return img.astype(np.float32)
+    return img
 
 
 @dataclass
@@ -91,7 +96,7 @@ def _prepare_record(
         x2 = nw - boxes[:, 0]
         boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
 
-    canvas_img = np.zeros((*canvas, 3), np.float32)
+    canvas_img = np.zeros((*canvas, 3), img.dtype)
     canvas_img[:nh, :nw] = img
 
     g = lc.max_gt_boxes

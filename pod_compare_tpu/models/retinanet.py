@@ -344,7 +344,10 @@ class ProbabilisticRetinaNet(nn.Module):
     def normalize(self, images: jnp.ndarray) -> jnp.ndarray:
         """(N, H, W, 3) raw-pixel images (BGR by config) → normalized, fused
         into the graph (reference preprocesses on host:
-        probabilistic_retinanet.py:96)."""
+        probabilistic_retinanet.py:96). Accepts uint8 input — the loader
+        ships uint8 canvases (4x less host->device traffic) and the cast
+        happens here, on device."""
+        images = images.astype(jnp.float32)
         mean = jnp.asarray(self.pixel_mean, images.dtype)
         std = jnp.asarray(self.pixel_std, images.dtype)
         return (images - mean) / std
