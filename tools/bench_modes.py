@@ -90,6 +90,11 @@ def main(batch: int, trials: int, canvas=(736, 1280)):
     cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE = "pre_nms"
     measure("ensembles pre_nms(5)", cfg, params_list=[params] * 5)
 
+    cfg = base_cfg()
+    cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "ensembles"
+    cfg.PROBABILISTIC_INFERENCE.ENSEMBLES.BOX_MERGE_MODE = "post_nms"
+    measure("ensembles post_nms(5)", cfg, params_list=[params] * 5)
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
