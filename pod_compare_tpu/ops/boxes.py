@@ -35,11 +35,18 @@ def area(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_intersection(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
-    """(N, M) intersection areas."""
-    lt = jnp.maximum(boxes1[:, None, 0:2], boxes2[None, :, 0:2])
-    rb = jnp.minimum(boxes1[:, None, 2:4], boxes2[None, :, 2:4])
-    wh = jnp.maximum(rb - lt, 0.0)
-    return wh[..., 0] * wh[..., 1]
+    """(N, M) intersection areas.
+
+    Coordinates are unpacked into separate (N, M) planes rather than a
+    stacked (N, M, 2) tensor: on TPU a trailing dim of 2 lands on the
+    128-lane axis and tile-pads 64x, which made the training matcher's
+    (G, R=176k) IoU cost 22.6 ms/step (measured, batch 8 BDD). Unpacked,
+    every intermediate is (N, M) with M on lanes — no padding."""
+    x1 = jnp.maximum(boxes1[:, None, 0], boxes2[None, :, 0])
+    y1 = jnp.maximum(boxes1[:, None, 1], boxes2[None, :, 1])
+    x2 = jnp.minimum(boxes1[:, None, 2], boxes2[None, :, 2])
+    y2 = jnp.minimum(boxes1[:, None, 3], boxes2[None, :, 3])
+    return jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
 
 
 def pairwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:

@@ -68,12 +68,27 @@ def label_anchors(
         forced = jnp.any(is_best & gt_valid[:, None], axis=0)  # (R,)
         label = jnp.where(forced, 1, label)
 
+    # One-hot matmul selection instead of `gt_classes[matched_idx]` /
+    # `gt_boxes[matched_idx]`: (R,)-indexed gathers run on the TPU scalar
+    # unit and cost ~15 ms/step at (B=8, R=176k) — 80% of the whole
+    # matcher (measured, tools/bench_matcher_variants.py: 18.4 ms with
+    # gathers, 3.4 ms with the one-hot form, bit-identical outputs). The
+    # (G, R) one-hot is an iota comparison and the contractions ride the
+    # MXU/VPU.
+    onehot = jax.nn.one_hot(
+        matched_idx, gt_boxes.shape[0], axis=0, dtype=jnp.float32
+    )  # (G, R)
+    matched_cls = jnp.einsum(
+        "gr,g->r", onehot, gt_classes.astype(jnp.float32)
+    ).astype(jnp.int32)
     anchor_classes = jnp.where(
         label == 1,
-        gt_classes[matched_idx],
+        matched_cls,
         jnp.where(label == 0, num_classes, -1),
     ).astype(jnp.int32)
-    matched_boxes = gt_boxes[matched_idx]
+    matched_boxes = jnp.einsum(
+        "gr,gc->rc", onehot, gt_boxes, precision="highest"
+    )
     return AnchorLabels(gt_classes=anchor_classes, matched_boxes=matched_boxes)
 
 

@@ -1,0 +1,143 @@
+"""In-situ ablation of the training step (DESIGN.md §5-style attribution).
+
+Standalone stage timings (bench_train_breakdown.py) over-count: XLA fuses
+the loss pipeline into the backward and overlaps the optimizer, so the
+honest attribution is FULL-STEP deltas with one component ablated at a
+time. Variants:
+
+  base       — production step (loss_attenuation 10 samples, dropout 0.2)
+  nofocal    — CLS_VAR_LOSS 'none' (plain focal): in-situ cost of the
+               (10, B, R, K) stochastic sample bank (RNG + focal math)
+  nodrop     — DROPOUT_RATE 0: in-situ cost of the tower dropout masks
+  b24        — batch 24 (compile-time HBM-guarded)
+
+Usage: python tools/bench_train_variants.py [variant ...]
+Prints one JSON dict. Safety: peak-HBM checked at compile time before any
+execution (runtime OOM on the v5e presents as a ~50-min worker outage).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BDD_CANVAS = (736, 1280)
+TRIALS = 6
+WARMUP = 3
+HBM_BUDGET_BYTES = 13.5e9
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def make_box(rng):
+    x1 = rng.rand() * 1000
+    y1 = rng.rand() * 600
+    w = 20 + rng.rand() * 200
+    h = 20 + rng.rand() * 100
+    return np.array([x1, y1, x1 + w, y1 + h], np.float32)
+
+
+def run_variant(name, batch, cls_var_loss, dropout_rate):
+    import jax
+    import jax.numpy as jnp
+
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.models import build_anchor_generator, build_model
+    from pod_compare_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 7
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = dropout_rate
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = cls_var_loss
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 10
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.SOLVER.IMS_PER_BATCH = batch
+
+    model = build_model(cfg)
+    gen = build_anchor_generator(cfg)
+    anchors = jnp.asarray(gen.concatenated(BDD_CANVAS))
+    state = create_train_state(cfg, model, BDD_CANVAS, seed=0)
+    rng = np.random.RandomState(0)
+    G = 40
+    batch_data = {
+        "images": jnp.asarray(
+            (rng.rand(batch, *BDD_CANVAS, 3) * 255).astype(np.uint8)
+        ),
+        "gt_boxes": jnp.asarray(
+            np.stack([np.stack([make_box(rng) for _ in range(G)])
+                      for _ in range(batch)])
+        ),
+        "gt_classes": jnp.asarray(rng.randint(0, 7, (batch, G)), jnp.int32),
+        "gt_valid": jnp.ones((batch, G), bool),
+    }
+    step = make_train_step(cfg, model, anchors, mesh=None)
+
+    t0 = time.time()
+    compiled = step.lower(state, batch_data).compile()
+    compile_s = time.time() - t0
+    entry = {"compile_s": round(compile_s, 1), "batch": batch}
+    try:
+        ma = compiled.memory_analysis()
+        peak = ma.temp_size_in_bytes + ma.argument_size_in_bytes + \
+            ma.output_size_in_bytes
+        entry["peak_hbm_gb"] = round(peak / 1e9, 2)
+        if peak > HBM_BUDGET_BYTES:
+            log(f"{name}: SKIPPED (peak {peak/1e9:.1f} GB > budget)")
+            entry["skipped_oom_guard"] = True
+            return entry
+    except Exception as exc:
+        log(f"{name}: memory_analysis unavailable ({exc}); proceeding")
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        entry["tflop"] = round(float(ca.get("flops", 0.0)) / 1e12, 3)
+    except Exception:
+        pass
+
+    out = None
+    for _ in range(WARMUP):
+        out = step(state, batch_data)
+        state = out[0]
+    _ = np.asarray(out[1]["total_loss"])
+    t0 = time.time()
+    for _ in range(TRIALS):
+        out = step(state, batch_data)
+        state = out[0]
+    _ = np.asarray(out[1]["total_loss"])
+    dt = (time.time() - t0) / TRIALS
+    entry["ms"] = round(dt * 1e3, 1)
+    entry["img_per_s"] = round(batch / dt, 1)
+    if "tflop" in entry:
+        entry["tflops_per_s"] = round(entry["tflop"] / dt, 1)
+    log(f"{name}: {entry}")
+    return entry
+
+
+VARIANTS = {
+    "base": dict(batch=16, cls_var_loss="loss_attenuation", dropout_rate=0.2),
+    "nofocal": dict(batch=16, cls_var_loss="none", dropout_rate=0.2),
+    "nodrop": dict(batch=16, cls_var_loss="loss_attenuation", dropout_rate=0.0),
+    "b24": dict(batch=24, cls_var_loss="loss_attenuation", dropout_rate=0.2),
+}
+
+
+def main():
+    from pod_compare_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+    names = sys.argv[1:] or list(VARIANTS)
+    report = {}
+    for name in names:
+        report[name] = run_variant(name, **VARIANTS[name])
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
