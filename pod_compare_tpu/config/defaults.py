@@ -153,6 +153,10 @@ def get_cfg() -> ConfigNode:
     _C.SOLVER.CLIP_GRADIENTS = ConfigNode()
     _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
     _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    # 'value' (elementwise, detectron2 default) or 'norm' (global L2 norm;
+    # detectron2 clips per-parameter-group, here the whole tree — the only
+    # grouping the reference's single param group produces anyway).
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
 
     # ------------------------------------------------------------------ INPUT
     _C.INPUT = ConfigNode()
@@ -174,6 +178,11 @@ def get_cfg() -> ConfigNode:
 
     _C.DATALOADER = ConfigNode()
     _C.DATALOADER.NUM_WORKERS = 4
+    # 'thread' (cv2 releases the GIL during imread/resize) or 'process'
+    # (true multi-core decode — the analog of the reference's 32 torch
+    # dataloader worker PROCESSES, apply_net.py:33-34; needed when one
+    # host must feed >~40 img/s of 720p decode, DESIGN.md §5).
+    _C.DATALOADER.WORKER_BACKEND = "thread"
 
     # ------------------------------------------------------------------- TEST
     _C.TEST = ConfigNode()

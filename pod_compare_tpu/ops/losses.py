@@ -101,6 +101,50 @@ def nll_box_loss(
     return jnp.sum(jnp.where(pos_mask[..., None], loss, 0.0))
 
 
+def mvn_nll_box_loss(
+    pred_deltas: jnp.ndarray,
+    gt_deltas: jnp.ndarray,
+    pred_cov_params: jnp.ndarray,
+    pos_mask: jnp.ndarray,
+    log_var_clamp: float = 7.0,
+) -> jnp.ndarray:
+    """Full-covariance multivariate-Gaussian NLL box loss (masked sum):
+
+        0.5 · ‖L⁻¹ (gt − pred)‖² + Σᵢ log Lᵢᵢ
+
+    with L the lower-triangular Cholesky factor built exactly as at
+    inference (ops/gaussian.py::covariance_output_to_cholesky — diagonal
+    sqrt(exp(sᵢ)), raw strict-lower-triangle; reference:
+    modeling_utils.py:4-22). The log-variance channels are clamped to
+    ±`log_var_clamp` like the diagonal path (probabilistic_retinanet.py:
+    287-307). This EXCEEDS the reference: its full+NLL combination crashes
+    (probabilistic_retinanet.py:287-307 binds `loss_box_reg` only for
+    'diagonal'), so there is no reference formula to be bug-compatible
+    with — the standard MVN NLL (up to the k/2·log 2π constant) is used.
+
+    The 4×4 triangular solve is unrolled as forward substitution on
+    unpacked channels — no (…, 4, 4) materialization (trailing dims of 4
+    tile-pad 32× on TPU; cf. ops/boxes.py::pairwise_intersection).
+
+    `pred_cov_params` is (..., 10): [s₁..s₄, l₂₁, l₃₁, l₃₂, l₄₁, l₄₂, l₄₃]
+    (ops/gaussian.py::_TRIL_ROWS/_TRIL_COLS order).
+    """
+    s = jnp.clip(pred_cov_params[..., 0:4], -log_var_clamp, log_var_clamp)
+    # L diagonal = sqrt(exp(s)) => log L_ii = s/2; solve scaled by
+    # exp(-s/2) per row.
+    inv_d = jnp.exp(-0.5 * s)
+    d = gt_deltas - pred_deltas
+    l21, l31, l32, l41, l42, l43 = (pred_cov_params[..., i] for i in range(4, 10))
+    z1 = d[..., 0] * inv_d[..., 0]
+    z2 = (d[..., 1] - l21 * z1) * inv_d[..., 1]
+    z3 = (d[..., 2] - l31 * z1 - l32 * z2) * inv_d[..., 2]
+    z4 = (d[..., 3] - l41 * z1 - l42 * z2 - l43 * z3) * inv_d[..., 3]
+    maha = z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4
+    log_det_l = 0.5 * jnp.sum(s, axis=-1)
+    loss = 0.5 * maha + log_det_l
+    return jnp.sum(jnp.where(pos_mask, loss, 0.0))
+
+
 def annealing_weight(step: jnp.ndarray, annealing_step: int) -> jnp.ndarray:
     """Exponential probabilistic-loss annealing: (100^w − 1)/99 with
     w = min(1, step/annealing_step) (reference:

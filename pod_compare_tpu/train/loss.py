@@ -34,6 +34,7 @@ class LossConfig(NamedTuple):
     cls_var_loss: str = "none"  # 'none' | 'loss_attenuation'
     cls_var_num_samples: int = 10
     bbox_cov_loss: str = "none"  # 'none' | 'negative_log_likelihood'
+    bbox_cov_type: str = "diagonal"  # 'diagonal' | 'full'
     annealing_step: int = 80000
     loss_normalizer_momentum: float = 0.9
     box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
@@ -51,6 +52,7 @@ class LossConfig(NamedTuple):
             cls_var_loss=pm.CLS_VAR_LOSS.NAME,
             cls_var_num_samples=pm.CLS_VAR_LOSS.NUM_SAMPLES,
             bbox_cov_loss=pm.BBOX_COV_LOSS.NAME,
+            bbox_cov_type=pm.BBOX_COV_LOSS.COVARIANCE_TYPE,
             annealing_step=annealing,
             loss_normalizer_momentum=cfg.MODEL.RETINANET.LOSS_NORMALIZER_MOMENTUM,
             box_reg_weights=tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS),
@@ -131,13 +133,24 @@ def compute_losses(
         assert outputs["box_reg_var"] is not None, (
             "negative_log_likelihood requires the bbox_cov head"
         )
-        nll = (
-            L.nll_box_loss(
-                pred_deltas, gt_deltas, outputs["box_reg_var"][..., 0:4],
-                pos_mask, lc.smooth_l1_beta,
+        if lc.bbox_cov_type == "full" and outputs["box_reg_var"].shape[-1] == 10:
+            # True MVN NLL over the 10-param Cholesky head. The reference
+            # CRASHES on full+NLL (probabilistic_retinanet.py:287-307 binds
+            # loss_box_reg only for 'diagonal') — this exceeds it.
+            nll = (
+                L.mvn_nll_box_loss(
+                    pred_deltas, gt_deltas, outputs["box_reg_var"], pos_mask,
+                )
+                / norm
             )
-            / norm
-        )
+        else:
+            nll = (
+                L.nll_box_loss(
+                    pred_deltas, gt_deltas, outputs["box_reg_var"][..., 0:4],
+                    pos_mask, lc.smooth_l1_beta,
+                )
+                / norm
+            )
         w = L.annealing_weight(step.astype(jnp.float32), lc.annealing_step)
         loss_box_reg = (1.0 - w) * standard_reg + w * nll
     elif lc.bbox_cov_loss == "none":

@@ -86,7 +86,19 @@ def build_optimizer(cfg, params=None):
         optax.scale_by_schedule(lambda c: -schedule(c)),
     ]
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
-        chain.insert(0, optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+        clip_type = cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE
+        if clip_type == "value":
+            clipper = optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+        elif clip_type == "norm":
+            clipper = optax.clip_by_global_norm(
+                cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
+            )
+        else:
+            raise ValueError(
+                f"SOLVER.CLIP_GRADIENTS.CLIP_TYPE must be 'value' or "
+                f"'norm', got {clip_type!r}"
+            )
+        chain.insert(0, clipper)
     return optax.chain(*chain), schedule
 
 

@@ -52,36 +52,78 @@ def full_cov_setup(tmp_path_factory):
     cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
     cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.COVARIANCE_TYPE = "full"
     cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NUM_SAMPLES = 30
+    # Dropout off: the probe below compares loss_box_reg across two fixed-
+    # batch evaluations, and dropout masks (drawn from the advancing
+    # state.rng) would add noise larger than the 8-iter improvement.
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.0
     cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 32
+    cfg.MODEL.RETINANET.SCORE_THRESH_TEST = 0.0  # briefly-trained scores are tiny
     cfg.TEST.DETECTIONS_PER_IMAGE = 8
     cfg.PARALLEL.COMPUTE_DTYPE = "float32"
     cfg.DATASETS.TRAIN = (name,)
     cfg.DATASETS.TEST = (name,)
     cfg.SOLVER.IMS_PER_BATCH = 2
-    cfg.SOLVER.BASE_LR = 1e-5
-    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.WARMUP_ITERS = 0
     cfg.SOLVER.STEPS = (100, 200)
     cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    # Unclipped training on 6 random-init synthetic images saturates the
+    # cls logits (score→1.0) and explodes box deltas into zero-area clipped
+    # boxes within ~8 iters at ANY lr (loss-attenuation runaway: d loss/d
+    # log_var ∝ exp(log_var/2)); clip-by-norm keeps the model near init so
+    # the e2e below sees sane geometry, exactly like detectron2's
+    # SOLVER.CLIP_GRADIENTS option would.
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    # Annealing pinned to 1 so loss_box_reg IS the MVN NLL from step 1 (the
+    # annealed mix would be ~100% smooth-L1 at these step counts).
+    cfg.MODEL.PROBABILISTIC_MODELING.ANNEALING_STEP = 1
     cfg.INPUT.MIN_SIZE_TRAIN = (64,)
     cfg.INPUT.MIN_SIZE_TEST = 64
     cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("out_fullcov"))
     cfg.SEED = 0
 
     trainer = Trainer(cfg, mesh=create_mesh(2))
-    trainer.train(max_iter=2, log_period=1)
+
+    # Probe the loss on one fixed batch before/after training to verify the
+    # full-covariance MVN NLL actually LEARNS (not just stays finite).
+    import jax
+    import jax.numpy as jnp
+
+    from pod_compare_tpu.train.trainer import select_train_batch
+
+    probe_batch = select_train_batch(next(iter(trainer.loader)))
+
+    def probe():
+        # loss_box_reg == the MVN NLL here (annealing pinned above) and is
+        # deterministic given params — unlike loss_cls, whose stochastic
+        # focal sampling would swamp the small 8-iter improvement.
+        state_copy = jax.tree_util.tree_map(jnp.copy, trainer.state)
+        _, metrics = trainer.train_step(state_copy, probe_batch)
+        return float(metrics["loss_box_reg"])
+
+    loss_before = probe()
+    trainer.train(max_iter=8, log_period=4)
+    loss_after = probe()
     trainer.checkpointer.wait()
-    return cfg, name
+    return cfg, name, loss_before, loss_after
 
 
 def test_full_covariance_nll_training(full_cov_setup):
-    """NLL box loss trains with the 10-param head (the reference CRASHES
-    on full+NLL — train/loss.py preserves its diagonal-slice semantics so
-    training works while matching what the reference's math uses)."""
-    cfg, _ = full_cov_setup
+    """The TRUE full-covariance MVN NLL (ops/losses.py::mvn_nll_box_loss)
+    trains: finite and decreasing on a seen batch. The reference CRASHES on
+    full+NLL (probabilistic_retinanet.py:287-307 binds loss_box_reg only
+    for 'diagonal') — this is an exceed-the-reference capability."""
+    cfg, _, loss_before, loss_after = full_cov_setup
     metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.jsonl")
     assert os.path.isfile(metrics_file)
     last = json.loads(open(metrics_file).read().strip().splitlines()[-1])
     assert np.isfinite(last["total_loss"])
+    # loss_before/after are the deterministic MVN-NLL box loss on one fixed
+    # batch (annealing pinned, dropout off in the fixture).
+    assert np.isfinite(loss_before) and np.isfinite(loss_after)
+    assert loss_after < loss_before
 
 
 def test_full_covariance_bayes_od_e2e(full_cov_setup):
@@ -89,7 +131,7 @@ def test_full_covariance_bayes_od_e2e(full_cov_setup):
     inverses) → COCO json with 4x4 bbox_covar → probabilistic metrics."""
     from pod_compare_tpu.cli.apply_net import run_inference
 
-    cfg, name = full_cov_setup
+    cfg, name, _, _ = full_cov_setup
     cfg2 = cfg.clone()
     cfg2.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "bayes_od"
     cfg2.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
@@ -101,7 +143,7 @@ def test_full_covariance_bayes_od_e2e(full_cov_setup):
     # detection (zero TP+FP) — a degenerate-model artifact, not plumbing.
     summary = run_inference(
         cfg2, name, "bayes_od_fullcov", batch_size=2, verbose=False,
-        min_allowed_score=0.1,
+        min_allowed_score=1e-4,
     )
     with open(
         os.path.join(summary["inference_output_dir"], "coco_instances_results.json")

@@ -122,3 +122,49 @@ def test_ema_loss_normalizer():
     # max(num_pos, 1) guard
     out = float(L.ema_loss_normalizer(jnp.asarray(100.0), jnp.asarray(0.0), 0.9))
     np.testing.assert_allclose(out, 0.9 * 100 + 0.1 * 1.0)
+
+
+def test_mvn_nll_box_loss_matches_torch_mvn(rng):
+    """Full-covariance NLL == -log N(Δ; 0, LLᵀ) − (k/2)·log 2π summed over
+    positives, with L built exactly as covariance_output_to_cholesky
+    (exceed-the-reference: its full+NLL path crashes,
+    probabilistic_retinanet.py:287-307)."""
+    from pod_compare_tpu.ops.gaussian import covariance_output_to_cholesky
+
+    B, R = 3, 17
+    pred = jnp.asarray(rng.randn(B, R, 4).astype(np.float32))
+    gt = jnp.asarray(rng.randn(B, R, 4).astype(np.float32))
+    params = rng.randn(B, R, 10).astype(np.float32)
+    params[..., 0:4] *= 0.5  # log-variances in a sane range
+    params[..., 4:] *= 0.3
+    pos = rng.rand(B, R) < 0.4
+    got = float(
+        L.mvn_nll_box_loss(pred, gt, jnp.asarray(params), jnp.asarray(pos))
+    )
+
+    chol = np.asarray(covariance_output_to_cholesky(jnp.asarray(params)))
+    mvn = torch.distributions.MultivariateNormal(
+        loc=torch.as_tensor(np.asarray(pred)),
+        scale_tril=torch.as_tensor(chol),
+    )
+    logpdf = mvn.log_prob(torch.as_tensor(np.asarray(gt))).numpy()
+    want = float((-logpdf[pos] - 2.0 * np.log(2 * np.pi)).sum())
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_mvn_nll_clamps_and_stays_finite(rng):
+    """Extreme log-variances are clamped (±7, like the diagonal path) and
+    gradients stay finite."""
+    pred = jnp.zeros((1, 5, 4))
+    gt = jnp.ones((1, 5, 4)) * 3.0
+    params = np.zeros((1, 5, 10), np.float32)
+    params[..., 0] = -40.0  # would be exp(40) precision without clamping
+    params[..., 1] = 40.0
+    pos = jnp.ones((1, 5), bool)
+
+    def f(p):
+        return L.mvn_nll_box_loss(pred, gt, p, pos)
+
+    val, grad = jax.value_and_grad(f)(jnp.asarray(params))
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
