@@ -68,6 +68,12 @@ class LoaderConfig:
     max_gt_boxes: int = 100
     flip: bool = False
     image_format: str = "BGR"
+    # Multi-scale training: detectron2's ResizeShortestEdge "choice"
+    # sampling over the MIN_SIZE_TRAIN tuple (the published configs pin a
+    # single size, Base-BDD-RetinaNet.yaml:23-24, but multi-scale configs
+    # are legal). The static canvas covers the LARGEST choice; smaller
+    # choices just leave more padding.
+    min_size_choices: Optional[Tuple[int, ...]] = None
 
 
 def _prepare_record(
@@ -77,7 +83,10 @@ def _prepare_record(
     if lc.image_format == "RGB":
         img = img[:, :, ::-1]
     h0, w0 = img.shape[:2]
-    nh, nw = resize_shortest_edge(h0, w0, lc.min_size, lc.max_size)
+    min_size = lc.min_size
+    if lc.min_size_choices and len(lc.min_size_choices) > 1:
+        min_size = lc.min_size_choices[rng.randint(len(lc.min_size_choices))]
+    nh, nw = resize_shortest_edge(h0, w0, min_size, lc.max_size)
     img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
 
     boxes = np.array(
@@ -156,22 +165,61 @@ class _Prefetcher:
             yield item
 
 
-class _ThreadPool:
-    """Tiny ordered map() thread pool for image decode/resize.
+def _process_worker_init():
+    # One OpenCV thread per worker process: the pool IS the parallelism,
+    # and cv2's internal threading oversubscribes the host cores.
+    cv2.setNumThreads(0)
 
-    Replaces the reference's 32 torch dataloader workers
-    (apply_net.py:33-34): cv2 releases the GIL during imread/resize, so
-    a few threads overlap IO+decode with device compute.
+
+def _prepare_star(args):
+    """Top-level (picklable) adapter for pool.map."""
+    record, lc, canvas, seed = args
+    return _prepare_record(record, lc, canvas, np.random.RandomState(seed))
+
+
+class _WorkerPool:
+    """Ordered map() over decode work items.
+
+    Replaces the reference's 32 torch dataloader worker PROCESSES
+    (apply_net.py:33-34). Two backends:
+
+      'thread'  — cv2 releases the GIL during imread/resize, so a few
+                  threads overlap IO+decode with device compute. The
+                  numpy pad/collate work stays GIL-serialized, capping a
+                  single host process at ~43 img/s of 720p decode
+                  (DESIGN.md §5).
+      'process' — true multi-core decode via a spawn-context
+                  multiprocessing pool (spawn, not fork: the parent may
+                  hold a live TPU runtime whose threads must not be
+                  forked). Work items cross the boundary as small
+                  (record, cfg, canvas, seed) tuples; prepared canvases
+                  come back as ~2.9 MB uint8 pickles — cheap next to the
+                  decode itself.
     """
 
-    def __init__(self, num_workers: int):
-        import concurrent.futures
+    def __init__(self, num_workers: int, backend: str = "thread"):
+        self.backend = backend
+        if backend == "process":
+            import multiprocessing as mp
 
-        self._pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=max(num_workers, 1)
-        )
+            self._pool = mp.get_context("spawn").Pool(
+                max(num_workers, 1), initializer=_process_worker_init
+            )
+        elif backend == "thread":
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=max(num_workers, 1)
+            )
+        else:
+            raise ValueError(
+                f"DATALOADER.WORKER_BACKEND must be 'thread' or 'process', "
+                f"got {backend!r}"
+            )
 
     def map(self, fn, items):
+        if self.backend == "process":
+            return self._pool.map(fn, items, chunksize=1)
         return list(self._pool.map(fn, items))
 
 
@@ -183,7 +231,7 @@ class TrainLoader:
         self,
         dataset: DatasetInfo,
         batch_size: int,
-        min_size: int,
+        min_size,
         max_size: int,
         divisibility: int = 32,
         max_gt_boxes: int = 100,
@@ -192,18 +240,26 @@ class TrainLoader:
         prefetch: int = 2,
         num_workers: int = 4,
         flip: bool = True,
+        worker_backend: str = "thread",
     ):
         self.records = [r for r in dataset.load() if r["annotations"]]
         assert self.records, f"Dataset {dataset.name} has no annotated images"
         self.batch_size = batch_size
-        self._pool = _ThreadPool(num_workers)
+        self._pool = _WorkerPool(num_workers, worker_backend)
+        # `min_size` may be an int or the full MIN_SIZE_TRAIN tuple;
+        # detectron2 samples one choice per image ("choice" style). The
+        # static canvas covers the largest choice.
+        choices = (
+            tuple(min_size) if isinstance(min_size, (tuple, list))
+            else (int(min_size),)
+        )
         self.lc = LoaderConfig(
-            min_size=min_size, max_size=max_size, divisibility=divisibility,
-            max_gt_boxes=max_gt_boxes, flip=flip,
+            min_size=max(choices), max_size=max_size, divisibility=divisibility,
+            max_gt_boxes=max_gt_boxes, flip=flip, min_size_choices=choices,
         )
         self.canvas = canvas or static_canvas(
             [(r["height"], r["width"]) for r in self.records],
-            min_size, max_size, divisibility,
+            max(choices), max_size, divisibility,
         )
         self.seed = seed
         self.prefetch = prefetch
@@ -216,13 +272,16 @@ class TrainLoader:
                 for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
                     flips = rng.rand(self.batch_size)
                     items = self._pool.map(
-                        lambda args: _prepare_record(
-                            self.records[args[0]], self.lc, self.canvas,
-                            np.random.RandomState(
-                                int(args[1] * 2 ** 31) & 0x7FFFFFFF
-                            ),
-                        ),
-                        list(zip(order[start : start + self.batch_size], flips)),
+                        _prepare_star,
+                        [
+                            (
+                                self.records[i], self.lc, self.canvas,
+                                int(f * 2 ** 31) & 0x7FFFFFFF,
+                            )
+                            for i, f in zip(
+                                order[start : start + self.batch_size], flips
+                            )
+                        ],
                     )
                     yield _collate(items)
 
@@ -232,7 +291,15 @@ class TrainLoader:
 class TestLoader:
     """Sequential loader; the final batch is padded by repeating the last
     image, flagged via `batch_valid` (reference: build_detection_test_loader
-    + apply_net.py batch=1 — here batched and device-resident)."""
+    + apply_net.py batch=1 — here batched and device-resident).
+
+    Multi-host evaluation (reference: COCOEvaluator's rank gather via
+    detectron2.utils.comm, train_net.py:73-75 / SURVEY.md §2.4): pass
+    `process_index`/`process_count` to give each process a strided shard
+    of the test set; per-process JSON results are gathered afterwards
+    (parallel/mesh.py::gather_process_results). The static canvas is
+    computed from the FULL dataset so every process compiles identical
+    shapes."""
 
     __test__ = False  # "Test" = test-set loader, not a pytest class
 
@@ -246,9 +313,20 @@ class TestLoader:
         canvas: Optional[Tuple[int, int]] = None,
         prefetch: int = 2,
         num_workers: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+        worker_backend: str = "thread",
     ):
         self.records = dataset.load()
-        self._pool = _ThreadPool(num_workers)
+        if canvas is None:
+            canvas = static_canvas(
+                [(r["height"], r["width"]) for r in self.records],
+                min_size if isinstance(min_size, int) else max(min_size),
+                max_size, divisibility,
+            )
+        if process_count > 1:
+            self.records = self.records[process_index::process_count]
+        self._pool = _WorkerPool(num_workers, worker_backend)
         self.batch_size = batch_size
         self.lc = LoaderConfig(
             min_size=min_size, max_size=max_size, divisibility=divisibility,
@@ -265,7 +343,6 @@ class TestLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         def gen():
-            rng = np.random.RandomState(0)
             for start in range(0, len(self.records), self.batch_size):
                 chunk = self.records[start : start + self.batch_size]
                 valid = np.zeros((self.batch_size,), bool)
@@ -273,8 +350,8 @@ class TestLoader:
                 while len(chunk) < self.batch_size:
                     chunk = chunk + [chunk[-1]]
                 items = self._pool.map(
-                    lambda r: _prepare_record(r, self.lc, self.canvas, rng),
-                    chunk,
+                    _prepare_star,
+                    [(r, self.lc, self.canvas, 0) for r in chunk],
                 )
                 batch = _collate(items)
                 batch["batch_valid"] = valid

@@ -59,6 +59,49 @@ def shard_batch(batch: dict, mesh: Optional[Mesh], axis_name: str = "data") -> d
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def gather_process_results(results: list) -> list:
+    """All-gather per-process JSON-serializable result lists across a
+    multi-controller run; returns the concatenation in process order on
+    every process.
+
+    TPU-native analog of the reference's COCOEvaluator rank gather
+    (detectron2.utils.comm.gather, exercised from train_net.py:73-75;
+    SURVEY.md §2.4). Host-side and off the hot path: each process's
+    results are serialized to a uint8 payload, padded to the global max
+    length, and exchanged with `process_allgather` (which rides the same
+    distributed runtime the gradient all-reduce uses). No-op on a single
+    process."""
+    import json
+
+    import jax
+
+    if jax.process_count() == 1:
+        return results
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        json.dumps(results).encode("utf-8"), dtype=np.uint8
+    )
+    lengths = multihost_utils.process_allgather(
+        np.asarray(payload.size, np.int64)
+    ).ravel()
+    padded = np.zeros((int(lengths.max()),), np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    merged = []
+    for row, n in zip(np.asarray(gathered), lengths):
+        merged.extend(json.loads(bytes(row[: int(n)]).decode("utf-8")))
+    return merged
+
+
+def is_main_process() -> bool:
+    """Rank-0 gate for writers (reference: comm.is_main_process(),
+    train_net.py:74)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def maybe_initialize_distributed() -> bool:
     """Initialize multi-host JAX when launched under a multi-process
     coordinator (replaces detectron2's `launch` --num-machines/--machine-rank

@@ -137,6 +137,34 @@ def make_train_step(cfg, model, anchors: jnp.ndarray, mesh=None):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def resolve_weights_path(weights: str) -> str:
+    """Resolve MODEL.WEIGHTS, including the reference's `detectron2://`
+    model-zoo scheme (Base-BDD-RetinaNet.yaml:6, resolved by fvcore's
+    PathManager there). This environment has no network, so zoo URLs
+    resolve against a local cache directory ($DETECTRON2_CACHE, default
+    ~/.torch/iopath_cache — fvcore's layout); a miss fails with the
+    recipe instead of a bare FileNotFoundError."""
+    import os
+
+    if not weights.startswith("detectron2://"):
+        return weights
+    rel = weights[len("detectron2://"):]
+    cache_root = os.environ.get(
+        "DETECTRON2_CACHE", os.path.expanduser("~/.torch/iopath_cache")
+    )
+    local = os.path.join(cache_root, rel)
+    if not os.path.isfile(local):
+        raise FileNotFoundError(
+            f"MODEL.WEIGHTS={weights}: detectron2:// URLs resolve against "
+            f"a local zoo cache ({local} not found). Download the file on "
+            "a networked machine (or copy it from a detectron2 install's "
+            "cache), place it at that path or set DETECTRON2_CACHE, or "
+            "point MODEL.WEIGHTS at a local .pkl/.pth and it will be "
+            "converted on the fly (pod_compare_tpu/train/torch_convert.py)."
+        )
+    return local
+
+
 TRAIN_BATCH_KEYS = ("images", "gt_boxes", "gt_classes", "gt_valid")
 
 
@@ -159,11 +187,13 @@ class Trainer:
         self.model = build_model(cfg)
 
         dataset = dataset or get_dataset(cfg.DATASETS.TRAIN[0])
-        min_size = cfg.INPUT.MIN_SIZE_TRAIN[0]
         self.loader = TrainLoader(
             dataset,
             batch_size=cfg.SOLVER.IMS_PER_BATCH,
-            min_size=min_size,
+            # Full MIN_SIZE_TRAIN tuple: the loader samples one choice per
+            # image (detectron2 ResizeShortestEdge "choice" semantics); the
+            # published configs pin a single size.
+            min_size=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
             max_size=cfg.INPUT.MAX_SIZE_TRAIN,
             divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
             max_gt_boxes=cfg.INPUT.MAX_GT_BOXES,
@@ -171,6 +201,7 @@ class Trainer:
             canvas=canvas,
             num_workers=cfg.DATALOADER.NUM_WORKERS,
             flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
+            worker_backend=cfg.DATALOADER.WORKER_BACKEND,
         )
         self.canvas = self.loader.canvas
         gen = build_anchor_generator(cfg)
@@ -186,6 +217,9 @@ class Trainer:
         self.train_step = make_train_step(cfg, self.model, self.anchors, self.mesh)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
         self.storage = EventStorage(cfg.OUTPUT_DIR)
+        # (loader, predictor) reused across test() calls so periodic eval
+        # doesn't rebuild + re-jit the whole pipeline every EVAL_PERIOD.
+        self._eval_cache = None
 
     def resume_or_load(self, resume: bool = False) -> None:
         """Resume from the latest checkpoint, else warm-start from
@@ -201,6 +235,7 @@ class Trainer:
         weights = self.cfg.MODEL.WEIGHTS
         if not weights:
             return
+        weights = resolve_weights_path(weights)
         if weights.endswith(".pth") or weights.endswith(".pkl"):
             from pod_compare_tpu.train.torch_convert import (
                 convert_torch_state_dict,
@@ -281,15 +316,39 @@ class Trainer:
         cfg = self.cfg.clone().defrost()
         cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
         test_dataset = test_dataset or cfg.DATASETS.TEST[0]
+        if self._eval_cache is None:
+            from pod_compare_tpu.data.loader import TestLoader
+            from pod_compare_tpu.inference.predictor import build_predictor
+
+            loader = TestLoader(
+                get_dataset(test_dataset),
+                batch_size=batch_size,
+                min_size=cfg.INPUT.MIN_SIZE_TEST,
+                max_size=cfg.INPUT.MAX_SIZE_TEST,
+                divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
+                num_workers=cfg.DATALOADER.NUM_WORKERS,
+                worker_backend=cfg.DATALOADER.WORKER_BACKEND,
+            )
+            predictor = build_predictor(
+                cfg, loader.canvas, params=self.state.params
+            )
+            self._eval_cache = (test_dataset, loader, predictor)
+        cached_dataset, loader, predictor = self._eval_cache
+        assert cached_dataset == test_dataset, (
+            "Trainer.test() caches one eval pipeline; got a different "
+            f"dataset ({test_dataset} vs {cached_dataset})"
+        )
+        predictor.params = self.state.params  # jit is shape-keyed: no re-trace
         summary = run_inference(
             cfg,
             test_dataset,
             f"eval_iter_{int(self.state.step)}",
             batch_size=batch_size,
-            params=jax.device_get(self.state.params),
             run_metrics=False,
             run_map=True,
             verbose=False,
+            loader=loader,
+            predictor=predictor,
         )
         self.storage.put_scalars(
             **{"eval/mAP": summary.get("mAP", float("nan")),

@@ -76,6 +76,39 @@ def test_train_loader_batches(synth):
     assert (boxes[:, 2] <= loader.canvas[1] + 1e-3).all()
 
 
+def test_train_loader_multiscale_choice(synth):
+    """MIN_SIZE_TRAIN tuples sample a per-image scale (detectron2
+    ResizeShortestEdge "choice"); the static canvas covers the largest."""
+    loader = TrainLoader(
+        synth, batch_size=4, min_size=(24, 48), max_size=1333, seed=3,
+    )
+    assert loader.canvas == static_canvas([(48, 64)], 48, 1333, 32)
+    it = iter(loader)
+    seen_heights = set()
+    for _ in range(8):
+        batch = next(it)
+        # Content height of each canvas image = rows with any nonzero pixel
+        # (synthetic images have nonzero content rows).
+        for img in batch["images"]:
+            rows = np.nonzero(img.sum(axis=(1, 2)))[0]
+            seen_heights.add(int(rows.max()) + 1)
+    # Both scales must appear across images (24 -> 24 rows, 48 -> 48 rows).
+    assert any(h <= 30 for h in seen_heights), seen_heights
+    assert any(h >= 40 for h in seen_heights), seen_heights
+
+
+def test_process_backend_matches_thread_backend(synth):
+    """DATALOADER.WORKER_BACKEND='process' (true multi-core decode, the
+    analog of the reference's 32 dataloader worker processes,
+    apply_net.py:33-34) must produce byte-identical batches to the thread
+    backend."""
+    kw = dict(batch_size=2, min_size=48, max_size=1333)
+    a = next(iter(TestLoader(synth, **kw, worker_backend="thread")))
+    b = next(iter(TestLoader(synth, **kw, worker_backend="process", num_workers=2)))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_train_loader_deterministic_seed(synth):
     a = next(iter(TrainLoader(synth, 2, 48, 1333, seed=7)))
     b = next(iter(TrainLoader(synth, 2, 48, 1333, seed=7)))

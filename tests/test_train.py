@@ -304,3 +304,37 @@ def test_model_weights_warm_start(tmp_path, rng):
     trainer.resume_or_load(resume=False)
     got = np.asarray(trainer.state.params["resnet"]["stem_conv1"]["kernel"])
     np.testing.assert_allclose(got, np.transpose(stem, (2, 3, 1, 0)), atol=1e-6)
+
+
+def test_resolve_weights_detectron2_scheme(tmp_path, monkeypatch):
+    """detectron2:// zoo URLs resolve against the local cache dir and fail
+    with an actionable message on a miss (reference consumes
+    detectron2://ImageNetPretrained/MSRA/R-50.pkl, Base-BDD-RetinaNet.yaml:6)."""
+    from pod_compare_tpu.train.trainer import resolve_weights_path
+
+    # plain paths pass through
+    assert resolve_weights_path("/x/y.pth") == "/x/y.pth"
+
+    monkeypatch.setenv("DETECTRON2_CACHE", str(tmp_path))
+    url = "detectron2://ImageNetPretrained/MSRA/R-50.pkl"
+    with pytest.raises(FileNotFoundError, match="DETECTRON2_CACHE"):
+        resolve_weights_path(url)
+    target = tmp_path / "ImageNetPretrained" / "MSRA" / "R-50.pkl"
+    target.parent.mkdir(parents=True)
+    target.write_bytes(b"x")
+    assert resolve_weights_path(url) == str(target)
+
+
+def test_trainer_eval_cache_reused(tiny_trainer):
+    """test() must reuse one loader+predictor across calls (no per-eval
+    rebuild/re-jit) while evaluating the CURRENT params."""
+    cfg, trainer = tiny_trainer
+    name = cfg.DATASETS.TRAIN[0]
+    s1 = trainer.test(test_dataset=name, batch_size=2)
+    cache = trainer._eval_cache
+    assert cache is not None
+    s2 = trainer.test(test_dataset=name, batch_size=2)
+    assert trainer._eval_cache is cache
+    # the cached predictor must see the trainer's current params object
+    assert trainer._eval_cache[2].params is trainer.state.params
+    assert "mAP" in s1 and "mAP" in s2
