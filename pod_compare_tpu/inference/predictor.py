@@ -411,10 +411,6 @@ def visualize_inference(
     return out_path
 
 
-def _ax1(x) -> Optional[int]:
-    return None if x is None else 1
-
-
 def build_predictor(
     cfg, image_size, params=None, params_list=None, mesh=None
 ) -> ProbabilisticPredictor:
