@@ -90,10 +90,26 @@ def get_cfg() -> ConfigNode:
     # see ops/pallas/dropout.py::dropout. Perf knob; identical
     # distribution up to threshold quantization (2^-16 / 2^-8 / 2^-32).
     _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = "bernoulli"
+    # TPU-native throughput option (default False = reference-exact iid):
+    # share TRAINING dropout masks across the batch axis, like the MC
+    # inference bank's PROBABILISTIC_INFERENCE.MC_DROPOUT
+    # .BATCH_SHARED_MASKS. Per-image forward law identical (every
+    # activation still dropped with rate p); gradient estimator unbiased;
+    # only cross-image correlation within one step changes. Cuts mask RNG
+    # + HBM traffic by the batch size (measured in DESIGN.md §5b).
+    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN = False
     _C.MODEL.PROBABILISTIC_MODELING.MC_DROPOUT = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "none"
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 3
+    # TPU-native throughput option (default False = reference-exact iid):
+    # share the loss-attenuation sample bank across the batch axis. The
+    # per-image loss law is IDENTICAL (each anchor/class still sees
+    # num_samples iid draws from its own logit Gaussian) and the gradient
+    # estimator stays unbiased — only the Monte-Carlo error becomes
+    # correlated across the images of one step. Cuts the bank's RNG bits
+    # by the batch size (measured in DESIGN.md §5b).
+    _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES = False
     _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "none"
     _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.COVARIANCE_TYPE = "diagonal"

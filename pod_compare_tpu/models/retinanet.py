@@ -382,11 +382,22 @@ class ProbabilisticRetinaNet(nn.Module):
         return self.head.rest(prefix_pair, deterministic, mask_shared_batch)
 
     def __call__(
-        self, images: jnp.ndarray, deterministic: bool = True
+        self,
+        images: jnp.ndarray,
+        deterministic: bool = True,
+        mask_shared_batch: bool = False,
     ) -> Dict[str, Optional[jnp.ndarray]]:
         """Raw anchorwise output (the reference's
-        `produce_raw_output`/training forward combined)."""
-        return self.forward_head(self.backbone(images), deterministic)
+        `produce_raw_output`/training forward combined).
+
+        `mask_shared_batch`: train-time analog of the MC bank's
+        BATCH_SHARED_MASKS (MODEL.PROBABILISTIC_MODELING
+        .DROPOUT_SHARED_BATCH_TRAIN) — per-image dropout law unchanged,
+        batch-size-times fewer mask bits."""
+        return self.forward_head(
+            self.backbone(images), deterministic,
+            mask_shared_batch=mask_shared_batch,
+        )
 
 
 def build_model(cfg) -> ProbabilisticRetinaNet:

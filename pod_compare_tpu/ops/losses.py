@@ -57,6 +57,7 @@ def stochastic_focal_loss(
     num_samples: int,
     alpha: float = 0.25,
     gamma: float = 2.0,
+    shared_batch: bool = False,
 ) -> jnp.ndarray:
     """Loss-attenuation classification loss (Kendall & Gal NeurIPS'17).
 
@@ -77,7 +78,19 @@ def stochastic_focal_loss(
     always initializes from ImageNet weights.
     """
     std = jnp.sqrt(jnp.exp(jnp.clip(logit_log_vars, -10.0, 10.0)))
-    noise = jax.random.normal(rng, (num_samples,) + logits.shape, dtype=logits.dtype)
+    if shared_batch and logits.ndim == 3:
+        # One (S, R, K) bank broadcast over the batch axis: per-anchor law
+        # unchanged (iid over samples/anchors/classes), gradient estimator
+        # unbiased, batch-size-times fewer threefry bits (the bank is
+        # RNG-bound, DESIGN.md §5b). Drawn WITHOUT the size-1 axis and
+        # broadcast, per the TPU tile-padding rule.
+        noise = jax.random.normal(
+            rng, (num_samples,) + logits.shape[1:], dtype=logits.dtype
+        )[:, None]
+    else:
+        noise = jax.random.normal(
+            rng, (num_samples,) + logits.shape, dtype=logits.dtype
+        )
     stochastic_logits = logits[None] + noise * std[None]
     loss = sigmoid_focal_loss(stochastic_logits, targets[None], alpha, gamma)
     loss = jnp.where(valid_mask[None][..., None], loss, 0.0)

@@ -33,6 +33,7 @@ class LossConfig(NamedTuple):
     iou_thresholds: Tuple[float, float] = (0.4, 0.5)
     cls_var_loss: str = "none"  # 'none' | 'loss_attenuation'
     cls_var_num_samples: int = 10
+    cls_var_shared_batch: bool = False
     bbox_cov_loss: str = "none"  # 'none' | 'negative_log_likelihood'
     bbox_cov_type: str = "diagonal"  # 'diagonal' | 'full'
     annealing_step: int = 80000
@@ -51,6 +52,7 @@ class LossConfig(NamedTuple):
             iou_thresholds=tuple(cfg.MODEL.RETINANET.IOU_THRESHOLDS),
             cls_var_loss=pm.CLS_VAR_LOSS.NAME,
             cls_var_num_samples=pm.CLS_VAR_LOSS.NUM_SAMPLES,
+            cls_var_shared_batch=pm.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES,
             bbox_cov_loss=pm.BBOX_COV_LOSS.NAME,
             bbox_cov_type=pm.BBOX_COV_LOSS.COVARIANCE_TYPE,
             annealing_step=annealing,
@@ -108,6 +110,7 @@ def compute_losses(
             L.stochastic_focal_loss(
                 rng, logits, outputs["box_cls_var"], targets, valid_mask,
                 lc.cls_var_num_samples, lc.focal_alpha, lc.focal_gamma,
+                shared_batch=lc.cls_var_shared_batch,
             )
             / norm
         )

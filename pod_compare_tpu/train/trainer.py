@@ -70,6 +70,9 @@ def make_train_step(cfg, model, anchors: jnp.ndarray, mesh=None):
     # build_optimizer needs params for the decay mask; rebuild inside a
     # closure on first trace instead (mask depends only on tree structure).
     use_remat = bool(cfg.PARALLEL.REMAT)
+    shared_masks = bool(
+        cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN
+    )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, dropout_rng, loss_rng = jax.random.split(state.rng, 3)
@@ -79,6 +82,7 @@ def make_train_step(cfg, model, anchors: jnp.ndarray, mesh=None):
                 {"params": params},
                 images,
                 False,  # dropout active during training (model.train())
+                mask_shared_batch=shared_masks,
                 rngs={"dropout": dropout_rng},
             )
 

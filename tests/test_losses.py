@@ -124,6 +124,37 @@ def test_ema_loss_normalizer():
     np.testing.assert_allclose(out, 0.9 * 100 + 0.1 * 1.0)
 
 
+def test_stochastic_focal_shared_batch_law(rng):
+    """SHARED_BATCH_SAMPLES: at B=1 the shared bank is the SAME draw as
+    iid (identical threefry count => identical values), and at B>1 every
+    image's loss equals a B=1 iid evaluation with the shared bank's noise
+    — i.e. the per-image law is unchanged, only cross-image correlation
+    appears."""
+    S, B, R, K = 4, 3, 11, 2
+    key = jax.random.PRNGKey(5)
+    logits = jnp.asarray(rng.randn(B, R, K).astype(np.float32))
+    log_vars = jnp.asarray(rng.randn(B, R, K).astype(np.float32) * 0.3)
+    targets = jnp.asarray((rng.rand(B, R, K) < 0.3).astype(np.float32))
+    valid = jnp.asarray(rng.rand(B, R) < 0.8)
+
+    iid_b1 = float(L.stochastic_focal_loss(
+        key, logits[:1], log_vars[:1], targets[:1], valid[:1], S))
+    shared_b1 = float(L.stochastic_focal_loss(
+        key, logits[:1], log_vars[:1], targets[:1], valid[:1], S,
+        shared_batch=True))
+    np.testing.assert_allclose(shared_b1, iid_b1, rtol=1e-6)
+
+    total = float(L.stochastic_focal_loss(
+        key, logits, log_vars, targets, valid, S, shared_batch=True))
+    per_image = sum(
+        float(L.stochastic_focal_loss(
+            key, logits[i:i + 1], log_vars[i:i + 1], targets[i:i + 1],
+            valid[i:i + 1], S, shared_batch=True))
+        for i in range(B)
+    )
+    np.testing.assert_allclose(total, per_image, rtol=1e-5)
+
+
 def test_mvn_nll_box_loss_matches_torch_mvn(rng):
     """Full-covariance NLL == -log N(Δ; 0, LLᵀ) − (k/2)·log 2π summed over
     positives, with L built exactly as covariance_output_to_cholesky

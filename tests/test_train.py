@@ -306,6 +306,46 @@ def test_model_weights_warm_start(tmp_path, rng):
     np.testing.assert_allclose(got, np.transpose(stem, (2, 3, 1, 0)), atol=1e-6)
 
 
+def test_shared_batch_banks_train_step(tmp_path_factory):
+    """DROPOUT_SHARED_BATCH_TRAIN + CLS_VAR_LOSS.SHARED_BATCH_SAMPLES (the
+    TPU-native shared-RNG training banks, DESIGN.md §5b) run a sharded
+    train step with finite losses and params."""
+    import jax
+
+    from pod_compare_tpu.data.synthetic import register_synthetic
+    from pod_compare_tpu.parallel.mesh import create_mesh
+    from pod_compare_tpu.train.trainer import Trainer, select_train_batch
+
+    root = str(tmp_path_factory.mktemp("synth_shared"))
+    name = register_synthetic(root, "synth_shared", num_images=4)
+
+    cfg = get_cfg()
+    cfg.MODEL.RETINANET.NUM_CLASSES = 3
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = "loss_attenuation"
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 2
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES = True
+    cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.1
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN = True
+    cfg.PARALLEL.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.BASE_LR = 1e-5
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.OUTPUT_DIR = str(tmp_path_factory.mktemp("out_shared"))
+    cfg.SEED = 0
+
+    trainer = Trainer(cfg, mesh=create_mesh(2))
+    batch = select_train_batch(next(iter(trainer.loader)))
+    state, metrics = trainer.train_step(trainer.state, batch)
+    m = jax.device_get(metrics)
+    assert np.isfinite(float(m["total_loss"]))
+    assert all(
+        np.isfinite(np.asarray(x)).all()
+        for x in jax.tree_util.tree_leaves(jax.device_get(state.params))
+    )
+
+
 def test_resolve_weights_detectron2_scheme(tmp_path, monkeypatch):
     """detectron2:// zoo URLs resolve against the local cache dir and fail
     with an actionable message on a miss (reference consumes

@@ -43,7 +43,8 @@ def make_box(rng):
     return np.array([x1, y1, x1 + w, y1 + h], np.float32)
 
 
-def run_variant(name, batch, cls_var_loss, dropout_rate):
+def run_variant(name, batch, cls_var_loss, dropout_rate,
+                shared_focal=False, shared_masks=False):
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +59,10 @@ def run_variant(name, batch, cls_var_loss, dropout_rate):
     cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 10
     cfg.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "negative_log_likelihood"
     cfg.SOLVER.IMS_PER_BATCH = batch
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES = (
+        shared_focal
+    )
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN = shared_masks
 
     model = build_model(cfg)
     gen = build_anchor_generator(cfg)
@@ -125,6 +130,12 @@ VARIANTS = {
     "nofocal": dict(batch=16, cls_var_loss="none", dropout_rate=0.2),
     "nodrop": dict(batch=16, cls_var_loss="loss_attenuation", dropout_rate=0.0),
     "b24": dict(batch=24, cls_var_loss="loss_attenuation", dropout_rate=0.2),
+    # Batch-shared RNG banks (per-image law identical, unbiased gradients;
+    # config docs in defaults.py):
+    "shared": dict(batch=16, cls_var_loss="loss_attenuation",
+                   dropout_rate=0.2, shared_focal=True, shared_masks=True),
+    "shared_b24": dict(batch=24, cls_var_loss="loss_attenuation",
+                       dropout_rate=0.2, shared_focal=True, shared_masks=True),
 }
 
 
