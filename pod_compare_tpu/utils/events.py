@@ -3,8 +3,12 @@
 TPU-native replacement for detectron2's EventStorage/TensorBoard writers
 exercised by the reference (reference: src/probabilistic_modeling/
 probabilistic_retinanet.py:200 logs ``num_pos_anchors``; setup.py:195
-installs writers). Metrics are buffered in memory, printed periodically and
-appended as JSON lines to ``metrics.jsonl`` for offline analysis.
+installs writers). Metrics are buffered in memory, printed periodically,
+appended as JSON lines to ``metrics.jsonl`` for offline analysis, AND
+written as TensorBoard-compatible event files (first-party writer,
+``utils/tb_events.py`` — no tensorboard package needed) so a stock
+``tensorboard --logdir OUTPUT_DIR`` monitors a 90k-iter run exactly as it
+does for the reference.
 """
 
 import json
@@ -22,11 +26,15 @@ class EventStorage:
         self._latest: Dict[str, float] = {}
         self.iter = 0
         self._file = None
+        self._tb = None
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
             self._file = open(
                 os.path.join(output_dir, "metrics.jsonl"), "a", buffering=1
             )
+            from pod_compare_tpu.utils.tb_events import TBEventWriter
+
+            self._tb = TBEventWriter(output_dir)
 
     def put_scalar(self, name: str, value) -> None:
         value = float(value)
@@ -48,6 +56,8 @@ class EventStorage:
         if self._file is not None:
             rec = {"iteration": self.iter, "time": time.time(), **self._latest}
             self._file.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalars(self.iter, self._latest)
 
     def step(self) -> None:
         self.iter += 1
@@ -56,6 +66,9 @@ class EventStorage:
         if self._file is not None:
             self._file.close()
             self._file = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
 
 _CURRENT: Optional[EventStorage] = None

@@ -1,0 +1,169 @@
+"""End-to-end loader-fed inference throughput (VERDICT r2 weak #8).
+
+The per-mode benches time device-resident batches; this tool measures the
+standard_nms pipeline WITH the host loader in the loop at BDD-val
+geometry: JPEG decode -> shortest-edge resize -> uint8 canvas ->
+host->device -> jitted pipeline -> detections fetched.
+
+Three numbers per worker backend (thread | process):
+  loader_img_per_s  — loader alone draining batches (no TPU);
+  e2e_img_per_s     — loader + device pipeline overlapped via the
+                      loader's prefetch thread;
+  device_img_per_s  — device pipeline alone on one resident batch.
+
+Remote-tunnel caveat: in this sandbox every batch crosses the tunnel
+(~0.25 s/batch of pure transfer, DESIGN.md §5) — on a real TPU VM the
+host->device copy is PCIe/DMA and the e2e number approaches
+min(loader, device).
+
+Usage: python tools/bench_loader_e2e.py [NUM_IMAGES] [BATCH]
+Prints one JSON dict.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import cv2
+import numpy as np
+
+NUM_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+H, W = 720, 1280
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def make_dataset(root):
+    """NUM_IMAGES JPEGs at BDD geometry with some structure (flat images
+    compress unrealistically well, skewing decode cost)."""
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    base = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (0, 0), 3)  # JPEG-realistic spectrum
+    records = []
+    for i in range(NUM_IMAGES):
+        img = np.roll(base, int(rng.randint(0, H)), axis=0)
+        cv2.rectangle(img, (100 + i % 50, 100), (400, 400), (255, 0, 0), -1)
+        path = os.path.join(img_dir, f"{i:05d}.jpg")
+        cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+        records.append({
+            "file_name": path, "image_id": i, "height": H, "width": W,
+            "annotations": [],
+        })
+    return records
+
+
+class _ListDataset:
+    name = "bench_e2e"
+
+    def __init__(self, records):
+        self._records = records
+
+    def load(self):
+        return self._records
+
+
+def main():
+    import jax
+
+    from pod_compare_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.data.loader import TestLoader
+    from pod_compare_tpu.inference.predictor import build_predictor
+    from pod_compare_tpu.models import build_model, init_model_params
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        t0 = time.time()
+        records = make_dataset(root)
+        log(f"dataset: {NUM_IMAGES} jpgs in {time.time() - t0:.1f}s")
+        dataset = _ListDataset(records)
+
+        cfg = get_cfg()
+        cfg.MODEL.RETINANET.NUM_CLASSES = 7
+        cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
+        cfg.PARALLEL.COMPUTE_DTYPE = "bfloat16"
+
+        report = {"num_images": NUM_IMAGES, "batch": BATCH}
+
+        def build_loader(backend, workers):
+            return TestLoader(
+                dataset, batch_size=BATCH, min_size=720, max_size=1333,
+                num_workers=workers, worker_backend=backend,
+            )
+
+        # ---- loader-only rates
+        for backend, workers in (("thread", 4), ("process", 4)):
+            loader = build_loader(backend, workers)
+            # warm one batch (pools spin up, page cache warms)
+            it = iter(loader)
+            next(it)
+            t0 = time.time()
+            n = BATCH  # first batch already drawn
+            for b in it:
+                n += int(b["batch_valid"].sum())
+            dt = time.time() - t0
+            rate = (n - BATCH) / dt
+            report[f"loader_{backend}_img_per_s"] = round(rate, 1)
+            log(f"loader[{backend} x{workers}]: {rate:.1f} img/s")
+
+        # ---- device pipeline alone (resident batch)
+        loader = build_loader("thread", 4)
+        canvas = loader.canvas
+        model = build_model(cfg)
+        params = init_model_params(model, canvas, seed=0)
+        predictor = build_predictor(cfg, canvas, params=params)
+        batch0 = next(iter(loader))
+        import jax.numpy as jnp
+
+        images = jnp.asarray(batch0["images"])
+        sizes = jnp.asarray(batch0["input_sizes"])
+        osizes = jnp.asarray(batch0["output_sizes"])
+        key = jax.random.PRNGKey(0)
+        log("compiling device pipeline...")
+        for i in range(6):
+            dets = predictor(images, sizes, osizes, key)
+        _ = np.asarray(dets.boxes)
+        t0 = time.time()
+        for i in range(6):
+            dets = predictor(images, sizes, osizes, key)
+        _ = np.asarray(dets.boxes)
+        dev = BATCH * 6 / (time.time() - t0)
+        report["device_img_per_s"] = round(dev, 1)
+        log(f"device pipeline: {dev:.1f} img/s")
+
+        # ---- end-to-end: loader feeding the device pipeline
+        for backend, workers in (("thread", 4), ("process", 4)):
+            loader = build_loader(backend, workers)
+            n = 0
+            t0 = time.time()
+            last = None
+            for b in iter(loader):
+                last = predictor(
+                    b["images"], b["input_sizes"], b["output_sizes"], key
+                )
+                n += int(b["batch_valid"].sum())
+            _ = np.asarray(last.boxes)
+            dt = time.time() - t0
+            report[f"e2e_{backend}_img_per_s"] = round(n / dt, 1)
+            log(f"e2e[{backend} x{workers}]: {n / dt:.1f} img/s")
+
+        print(json.dumps(report))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
