@@ -40,6 +40,9 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # kernel-faults the v5e worker (runtime OOM presents as a worker crash
 # with ~50 min recovery); every pipeline is now compile-time
 # memory-checked before execution (HBM_BUDGET below) instead of probing.
+# Compile-only bisect (2026-08-17, NOT executed): peak HBM b32=12.02,
+# b36=13.50, b40=15.46 GB -> b48 extrapolates to ~18.4 GB, past the
+# chip's ~16 GB, which quantifies the crash; b32 is the practical max.
 # The reference-exact mc_iid leg carries a ~2.3 GB/16-image MVN sample
 # bank, so it runs at a smaller batch.
 MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "16"))

@@ -34,8 +34,11 @@ class LossConfig(NamedTuple):
     cls_var_loss: str = "none"  # 'none' | 'loss_attenuation'
     cls_var_num_samples: int = 10
     cls_var_shared_batch: bool = False
-    bbox_cov_loss: str = "none"  # 'none' | 'negative_log_likelihood'
+    # 'none' | 'negative_log_likelihood' | 'second_moment_matching' |
+    # 'energy_loss'
+    bbox_cov_loss: str = "none"
     bbox_cov_type: str = "diagonal"  # 'diagonal' | 'full'
+    bbox_cov_num_samples: int = 1000
     annealing_step: int = 80000
     loss_normalizer_momentum: float = 0.9
     box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
@@ -55,6 +58,7 @@ class LossConfig(NamedTuple):
             cls_var_shared_batch=pm.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES,
             bbox_cov_loss=pm.BBOX_COV_LOSS.NAME,
             bbox_cov_type=pm.BBOX_COV_LOSS.COVARIANCE_TYPE,
+            bbox_cov_num_samples=pm.BBOX_COV_LOSS.NUM_SAMPLES,
             annealing_step=annealing,
             loss_normalizer_momentum=cfg.MODEL.RETINANET.LOSS_NORMALIZER_MOMENTUM,
             box_reg_weights=tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS),
@@ -81,6 +85,7 @@ def compute_losses(
         loss_normalizer: EMA carry.
         step: current iteration (for annealing).
     """
+    rng, rng_box = jax.random.split(rng)
     labels = label_anchors_batch(
         anchors, gt_boxes, gt_classes, gt_valid, lc.num_classes,
         lc.iou_thresholds,
@@ -156,6 +161,32 @@ def compute_losses(
             )
         w = L.annealing_weight(step.astype(jnp.float32), lc.annealing_step)
         loss_box_reg = (1.0 - w) * standard_reg + w * nll
+    elif lc.bbox_cov_loss in ("second_moment_matching", "energy_loss"):
+        # Named in the reference's configs but unimplemented there (its
+        # loss dispatch raises ValueError, probabilistic_retinanet.py:
+        # 307-310) — implemented here per the authors' ICLR 2021
+        # successor semantics; annealed like the NLL path.
+        assert outputs["box_reg_var"] is not None, (
+            f"{lc.bbox_cov_loss} requires the bbox_cov head"
+        )
+        if lc.bbox_cov_loss == "second_moment_matching":
+            prob = (
+                L.second_moment_matching_box_loss(
+                    pred_deltas, gt_deltas, outputs["box_reg_var"],
+                    pos_mask, lc.smooth_l1_beta,
+                )
+                / norm
+            )
+        else:
+            prob = (
+                L.energy_score_box_loss(
+                    rng_box, pred_deltas, gt_deltas, outputs["box_reg_var"],
+                    pos_mask, lc.bbox_cov_num_samples, lc.smooth_l1_beta,
+                )
+                / norm
+            )
+        w = L.annealing_weight(step.astype(jnp.float32), lc.annealing_step)
+        loss_box_reg = (1.0 - w) * standard_reg + w * prob
     elif lc.bbox_cov_loss == "none":
         loss_box_reg = standard_reg
     else:

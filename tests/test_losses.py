@@ -155,6 +155,112 @@ def test_stochastic_focal_shared_batch_law(rng):
     np.testing.assert_allclose(total, per_image, rtol=1e-5)
 
 
+def test_second_moment_matching_optimum(rng):
+    """SMM is minimized (in the variance head) when exp(s) equals the
+    squared residual — its distribution-free target. The reference names
+    this loss but raises ValueError on it (probabilistic_retinanet.py:
+    307-310)."""
+    B, R = 2, 9
+    pred = jnp.asarray(rng.randn(B, R, 4).astype(np.float32))
+    gt = pred + jnp.asarray(rng.randn(B, R, 4).astype(np.float32) * 0.5)
+    pos = jnp.ones((B, R), bool)
+    resid_sq = np.asarray(gt - pred) ** 2
+
+    s_opt = jnp.asarray(np.log(np.maximum(resid_sq, 1e-8)))
+    at_opt = float(L.second_moment_matching_box_loss(pred, gt, s_opt, pos))
+    for delta in (-0.7, 0.9):
+        off = float(
+            L.second_moment_matching_box_loss(pred, gt, s_opt + delta, pos)
+        )
+        assert off > at_opt, (off, at_opt)
+    # the variance term must NOT backprop into the mean head (residual is
+    # stop_gradient'ed): grad wrt pred equals the plain smooth-L1 grad
+    g_smm = jax.grad(
+        lambda p: L.second_moment_matching_box_loss(p, gt, s_opt, pos)
+    )(pred)
+    g_l1 = jax.grad(
+        lambda p: jnp.sum(jnp.where(pos[..., None], L.smooth_l1_loss(p, gt), 0.0))
+    )(pred)
+    np.testing.assert_allclose(np.asarray(g_smm), np.asarray(g_l1), atol=1e-5)
+
+
+def test_energy_score_prefers_truth(rng):
+    """The energy score is a proper scoring rule: with enough samples,
+    the true (mu, sigma) scores better than wrong means or wildly wrong
+    scales. (The reference names 'energy_loss' but raises ValueError.)"""
+    B, R = 1, 64
+    true_sigma = 0.8
+    mu = jnp.asarray(rng.randn(B, R, 4).astype(np.float32))
+    gt = mu + jnp.asarray(
+        (rng.randn(B, R, 4) * true_sigma).astype(np.float32)
+    )
+    pos = jnp.ones((B, R), bool)
+    key = jax.random.PRNGKey(3)
+
+    def es(pred_mu, log_var):
+        s = jnp.full((B, R, 4), log_var, jnp.float32)
+        return float(L.energy_score_box_loss(
+            key, pred_mu, gt, s, pos, num_samples=600, max_positives=64,
+        )) / (B * R)
+
+    at_truth = es(mu, float(np.log(true_sigma ** 2)))
+    assert es(mu + 3.0, float(np.log(true_sigma ** 2))) > at_truth
+    assert es(mu, float(np.log(25.0))) > at_truth  # sigma 5 >> 0.8
+    assert es(mu, float(np.log(1e-4))) > at_truth  # sigma ~0 (overconfident)
+
+
+def test_compute_losses_routes_new_cov_losses(rng):
+    """compute_losses dispatches second_moment_matching and energy_loss
+    (diagonal + full heads) with finite values and gradients."""
+    from pod_compare_tpu.ops.anchors import AnchorGenerator  # noqa: F401
+    from pod_compare_tpu.train.loss import LossConfig, compute_losses
+
+    B, R, K = 2, 24, 3
+    anchors = jnp.asarray(
+        np.stack([
+            np.array([i * 4.0, i * 3.0, i * 4.0 + 16, i * 3.0 + 16],
+                     np.float32)
+            for i in range(R)
+        ])
+    )
+    gt_boxes = jnp.asarray(
+        np.tile(np.array([[4.0, 2.0, 30.0, 28.0]], np.float32), (B, 2, 1))
+    )
+    gt_classes = jnp.zeros((B, 2), jnp.int32)
+    gt_valid = jnp.ones((B, 2), bool)
+
+    for name, cov_dims in [
+        ("second_moment_matching", 4), ("second_moment_matching", 10),
+        ("energy_loss", 4), ("energy_loss", 10),
+    ]:
+        lc = LossConfig(
+            num_classes=K, bbox_cov_loss=name,
+            bbox_cov_type="full" if cov_dims == 10 else "diagonal",
+            bbox_cov_num_samples=40, annealing_step=1,
+        )
+        outputs = {
+            "box_cls": jnp.asarray(rng.randn(B, R, K).astype(np.float32) - 3),
+            "box_delta": jnp.asarray(
+                rng.randn(B, R, 4).astype(np.float32) * 0.1),
+            "box_cls_var": None,
+            "box_reg_var": jnp.asarray(
+                rng.randn(B, R, cov_dims).astype(np.float32) * 0.3 - 1),
+        }
+
+        def f(var):
+            o = dict(outputs)
+            o["box_reg_var"] = var
+            losses, _ = compute_losses(
+                jax.random.PRNGKey(0), o, anchors, gt_boxes, gt_classes,
+                gt_valid, jnp.asarray(10.0), jnp.asarray(5, jnp.int32), lc,
+            )
+            return losses["loss_box_reg"]
+
+        val, grad = jax.value_and_grad(f)(outputs["box_reg_var"])
+        assert np.isfinite(float(val)), (name, cov_dims)
+        assert np.isfinite(np.asarray(grad)).all(), (name, cov_dims)
+
+
 def test_mvn_nll_box_loss_matches_torch_mvn(rng):
     """Full-covariance NLL == -log N(Δ; 0, LLᵀ) − (k/2)·log 2π summed over
     positives, with L built exactly as covariance_output_to_cholesky
