@@ -39,7 +39,7 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # Steady-state sweep: 16->~40, 24->37.5, 32->47.9 img/s. Batch 48
 # kernel-faults the v5e worker (runtime OOM presents as a worker crash
 # with ~50 min recovery); every pipeline is now compile-time
-# memory-checked before execution (HBM_BUDGET below) instead of probing.
+# memory-checked before execution (utils/hbm_guard.py) instead of probing.
 # Compile-only bisect (2026-08-17, NOT executed): peak HBM b32=12.02,
 # b36=13.50, b40=15.46 GB -> b48 extrapolates to ~18.4 GB, past the
 # chip's ~16 GB, which quantifies the crash; b32 is the practical max.
@@ -51,7 +51,6 @@ MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "16"))
 # 34.6 img/s for identical code), so warmup includes full timed trials.
 WARMUP_ITERS = 10
 MEASURE_ITERS = 8
-HBM_BUDGET_BYTES = 13.5e9
 
 
 def log(msg):
@@ -104,30 +103,30 @@ def measure(sampling: str, batch_size: int, params):
     key = jax.random.PRNGKey(0)
 
     log(f"[{sampling}] compiling at batch {batch_size}...")
-    t0 = time.time()
-    try:
-        compiled = predictor._fn.lower(
-            predictor.params, images, key,
-            jnp.asarray(sizes), jnp.asarray(sizes),
-        ).compile()
-        ma = compiled.memory_analysis()
-        peak = ma.temp_size_in_bytes + ma.argument_size_in_bytes + \
-            ma.output_size_in_bytes
-        log(f"[{sampling}] compiled in {time.time() - t0:.1f}s, "
-            f"peak HBM {peak / 1e9:.2f} GB")
-        if peak > HBM_BUDGET_BYTES:
-            log(f"[{sampling}] SKIPPED: peak {peak/1e9:.1f} GB > "
-                f"{HBM_BUDGET_BYTES/1e9:.1f} GB budget")
-            return None
-    except Exception as exc:
-        # memory_analysis is best-effort on this platform; fall through.
-        log(f"[{sampling}] compile-guard unavailable ({exc}); proceeding")
+    sizes_dev = jnp.asarray(sizes)
+    from pod_compare_tpu.utils.hbm_guard import guarded_compile
+
+    compiled, info = guarded_compile(
+        predictor._fn,
+        (predictor.params, images, key, sizes_dev, sizes_dev),
+        name=sampling, log=log,
+    )
+    if info.get("skipped_oom_guard"):
+        return None
+    if compiled is not None:
+        # Reuse the guard's executable — re-entering jit would compile the
+        # same program a second time whenever the persistent-cache load
+        # fails (intermittent on this platform, ~400 s each).
+        run = lambda k: compiled(predictor.params, images, k,
+                                 sizes_dev, sizes_dev)
+    else:
+        run = lambda k: predictor(images, sizes, sizes, k)
 
     log(f"[{sampling}] warmup...")
     t0 = time.time()
     for i in range(WARMUP_ITERS):
         key, sub = jax.random.split(key)
-        dets = predictor(images, sizes, sizes, sub)
+        dets = run(sub)
         if i % 4 == 3:
             _ = np.asarray(dets.boxes)  # host fetch: block_until_ready can
     _ = np.asarray(dets.boxes)          # be unreliable on this platform
@@ -136,7 +135,7 @@ def measure(sampling: str, batch_size: int, params):
     t0 = time.time()
     for i in range(MEASURE_ITERS):
         key, sub = jax.random.split(key)
-        dets = predictor(images, sizes, sizes, sub)
+        dets = run(sub)
     _ = np.asarray(dets.boxes)
     elapsed = time.time() - t0
     img_per_s = batch_size * MEASURE_ITERS / elapsed
@@ -184,9 +183,13 @@ def main():
             {
                 "metric": "BDD val images/sec/chip (BayesOD+MC-dropout, "
                           "analytic sampling)",
-                "value": round(analytic, 3),
+                # None (JSON null) when the HBM guard skipped the leg —
+                # never crash/retry over a deliberate skip.
+                "value": analytic and round(analytic, 3),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(analytic / REFERENCE_BASELINE_IMG_PER_S, 3),
+                "vs_baseline": analytic and round(
+                    analytic / REFERENCE_BASELINE_IMG_PER_S, 3
+                ),
                 "mc_iid_img_per_s": mc_iid and round(mc_iid, 3),
                 "mc_iid_batch": MC_IID_BATCH,
                 "batch": BATCH_SIZE,

@@ -149,6 +149,9 @@ def run_inference(
         f"({num_images / max(elapsed, 1e-9):.2f} img/s)"
     )
 
+    # Per-process rate: local image count over local wall time (after a
+    # gather, global count / local time would overstate by ~process_count).
+    images_per_second = num_images / max(elapsed, 1e-9)
     if process_count > 1:
         from pod_compare_tpu.parallel.mesh import (
             gather_process_results,
@@ -164,7 +167,7 @@ def run_inference(
             # before the non-main ones return.
             return {
                 "num_images": num_images,
-                "images_per_second": num_images / max(elapsed, 1e-9),
+                "images_per_second": images_per_second,
                 "inference_output_dir": inference_output_dir,
                 "is_main_process": False,
             }
@@ -176,7 +179,7 @@ def run_inference(
 
     summary = {
         "num_images": num_images,
-        "images_per_second": num_images / max(elapsed, 1e-9),
+        "images_per_second": images_per_second,
         "inference_output_dir": inference_output_dir,
     }
     if run_map:

@@ -332,10 +332,10 @@ class TestLoader:
             min_size=min_size, max_size=max_size, divisibility=divisibility,
             max_gt_boxes=1, flip=False,
         )
-        self.canvas = canvas or static_canvas(
-            [(r["height"], r["width"]) for r in self.records],
-            min_size, max_size, divisibility,
-        )
+        # canvas was resolved above BEFORE the process stride — recomputing
+        # it here from the sharded records would give different shapes per
+        # process.
+        self.canvas = canvas
         self.prefetch = prefetch
 
     def __len__(self):

@@ -332,15 +332,24 @@ class Trainer:
                 divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
                 num_workers=cfg.DATALOADER.NUM_WORKERS,
                 worker_backend=cfg.DATALOADER.WORKER_BACKEND,
+                # Multi-controller training evaluates a per-process shard
+                # and gathers (run_inference's rank gather) — an unsharded
+                # loader here would double-count every detection.
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
             )
+            # Eval shares the training mesh so a batch sized for N chips
+            # stays sharded (the reference evaluates on all DDP ranks).
             predictor = build_predictor(
-                cfg, loader.canvas, params=self.state.params
+                cfg, loader.canvas, params=self.state.params,
+                mesh=self.mesh if self.mesh.devices.size > 1 else None,
             )
-            self._eval_cache = (test_dataset, loader, predictor)
-        cached_dataset, loader, predictor = self._eval_cache
-        assert cached_dataset == test_dataset, (
+            self._eval_cache = (test_dataset, batch_size, loader, predictor)
+        cached_dataset, cached_bs, loader, predictor = self._eval_cache
+        assert (cached_dataset, cached_bs) == (test_dataset, batch_size), (
             "Trainer.test() caches one eval pipeline; got a different "
-            f"dataset ({test_dataset} vs {cached_dataset})"
+            f"dataset/batch ({test_dataset}, {batch_size}) vs "
+            f"({cached_dataset}, {cached_bs})"
         )
         predictor.params = self.state.params  # jit is shape-keyed: no re-trace
         summary = run_inference(
@@ -354,6 +363,10 @@ class Trainer:
             loader=loader,
             predictor=predictor,
         )
+        if not summary.get("is_main_process", True):
+            # Non-main ranks return after the collective gathers with no
+            # metric keys; writers run on the main process only.
+            return summary
         self.storage.put_scalars(
             **{"eval/mAP": summary.get("mAP", float("nan")),
                "eval/AP50": summary.get("AP50", float("nan"))}
@@ -361,6 +374,7 @@ class Trainer:
         self.storage.write()
         self.logger.info(
             f"eval @ iter {int(self.state.step)}: "
-            f"mAP={summary.get('mAP'):.4f} AP50={summary.get('AP50'):.4f}"
+            f"mAP={summary.get('mAP', float('nan')):.4f} "
+            f"AP50={summary.get('AP50', float('nan')):.4f}"
         )
         return summary

@@ -1,0 +1,79 @@
+"""Compile-time peak-HBM guard for benches.
+
+A runtime OOM on the v5e tunnel worker presents as a kernel fault with a
+~50-minute outage (bench.py batch-48 incident), so every bench compiles
+first and checks XLA's `memory_analysis` against a budget BEFORE
+executing anything. One implementation — bench.py and the tools/ benches
+all route through here so the budget and the peak formula cannot drift.
+
+Budget: 13.5e9 bytes, leaving headroom below the v5e-1's ~16 GB
+(compile-only bisect 2026-08-17: BayesOD+MC peaks b32=12.02 /
+b36=13.50 / b40=15.46 GB; b32 runs, b48 crashed the worker).
+"""
+
+import sys
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+HBM_BUDGET_BYTES = 13.5e9
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def guarded_compile(
+    jitted,
+    args: tuple,
+    name: str = "program",
+    budget_bytes: float = HBM_BUDGET_BYTES,
+    log=_log,
+) -> Tuple[Optional[object], dict]:
+    """lower+compile `jitted(*args)`; return (compiled, info).
+
+    compiled is None when the compiled peak exceeds the budget (info has
+    ``skipped_oom_guard``). When `memory_analysis`/`cost_analysis` are
+    unavailable (best-effort on some platforms) the program is NOT
+    skipped — info just lacks those fields.
+    """
+    t0 = time.time()
+    compiled = jitted.lower(*args).compile()
+    info = {"compile_s": round(time.time() - t0, 1)}
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops:
+            info["tflop"] = round(flops / 1e12, 3)
+    except Exception:
+        pass
+    try:
+        ma = compiled.memory_analysis()
+        peak = float(
+            ma.temp_size_in_bytes
+            + ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+        )
+        info["peak_hbm_gb"] = round(peak / 1e9, 2)
+        log(f"[{name}] compiled in {info['compile_s']}s, "
+            f"peak HBM {peak / 1e9:.2f} GB")
+        if peak > budget_bytes:
+            log(f"[{name}] SKIPPED: peak {peak / 1e9:.1f} GB > "
+                f"{budget_bytes / 1e9:.1f} GB budget")
+            info["skipped_oom_guard"] = True
+            return None, info
+    except Exception as exc:
+        log(f"[{name}] memory_analysis unavailable ({exc}); proceeding")
+    return compiled, info
+
+
+def synthetic_box(rng: np.random.RandomState) -> np.ndarray:
+    """One plausible BDD-scale XYXY box for synthetic training batches."""
+    x1 = rng.rand() * 1000
+    y1 = rng.rand() * 600
+    w = 20 + rng.rand() * 200
+    h = 20 + rng.rand() * 100
+    return np.array([x1, y1, x1 + w, y1 + h], np.float32)

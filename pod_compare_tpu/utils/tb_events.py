@@ -113,10 +113,15 @@ class TBEventWriter:
             self._f.flush()
 
     def add_scalars(self, step: int, scalars: Dict[str, float]) -> None:
-        finite = {
-            k: float(v) for k, v in scalars.items()
-            if isinstance(v, (int, float)) or hasattr(v, "__float__")
-        }
+        import math
+
+        finite = {}
+        for k, v in scalars.items():
+            if not (isinstance(v, (int, float)) or hasattr(v, "__float__")):
+                continue
+            v = float(v)
+            if math.isfinite(v):  # NaN mAP placeholders poison TB charts
+                finite[k] = v
         if finite:
             self._write(_event_proto(time.time(), step=step, scalars=finite))
 

@@ -98,8 +98,14 @@ def full_cov_setup(tmp_path_factory):
     def probe():
         # loss_box_reg == the MVN NLL here (annealing pinned above) and is
         # deterministic given params — unlike loss_cls, whose stochastic
-        # focal sampling would swamp the small 8-iter improvement.
+        # focal sampling would swamp the small 8-iter improvement. The
+        # probe step is PINNED past the annealing step: at the true step 0
+        # the annealing weight is 0 and loss_box_reg would be the plain
+        # smooth-L1, so before/after would compare two different losses.
         state_copy = jax.tree_util.tree_map(jnp.copy, trainer.state)
+        state_copy = state_copy._replace(
+            step=jnp.asarray(10, state_copy.step.dtype)
+        )
         _, metrics = trainer.train_step(state_copy, probe_batch)
         return float(metrics["loss_box_reg"])
 

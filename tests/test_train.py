@@ -346,6 +346,40 @@ def test_shared_batch_banks_train_step(tmp_path_factory):
     )
 
 
+def test_trainer_eval_shards_per_process(tiny_trainer, monkeypatch):
+    """In a multi-controller run Trainer.test() must build its cached
+    TestLoader with the process shard — an unsharded loader would make
+    every process evaluate the FULL set and run_inference's rank gather
+    would then double-count every detection."""
+    import jax
+
+    from pod_compare_tpu.data.datasets import get_dataset
+
+    cfg, trainer = tiny_trainer
+    name = cfg.DATASETS.TRAIN[0]
+    full_count = len(get_dataset(name).load())
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    captured = {}
+
+    def fake_run_inference(cfg, ds, iname, batch_size=8, loader=None,
+                           predictor=None, **kw):
+        captured["loader"] = loader
+        return {"mAP": 0.25, "AP50": 0.5}
+
+    import pod_compare_tpu.cli.apply_net as apply_net
+
+    monkeypatch.setattr(apply_net, "run_inference", fake_run_inference)
+    trainer._eval_cache = None  # module-scoped fixture may be warm
+    summary = trainer.test(test_dataset=name, batch_size=2)
+    loader = captured["loader"]
+    assert len(loader.records) == full_count // 2, (
+        len(loader.records), full_count)
+    assert summary["mAP"] == 0.25
+    trainer._eval_cache = None  # don't leak the sharded cache
+
+
 def test_resolve_weights_detectron2_scheme(tmp_path, monkeypatch):
     """detectron2:// zoo URLs resolve against the local cache dir and fail
     with an actionable message on a miss (reference consumes
@@ -376,5 +410,5 @@ def test_trainer_eval_cache_reused(tiny_trainer):
     s2 = trainer.test(test_dataset=name, batch_size=2)
     assert trainer._eval_cache is cache
     # the cached predictor must see the trainer's current params object
-    assert trainer._eval_cache[2].params is trainer.state.params
+    assert trainer._eval_cache[-1].params is trainer.state.params
     assert "mAP" in s1 and "mAP" in s2

@@ -31,71 +31,43 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 REMAT = "--remat" in sys.argv
 TRIALS = 6
 WARMUP = 3
-HBM_BUDGET_BYTES = 13.5e9  # leave headroom below the v5e-1's ~16 GB
 
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def analyze(compiled):
-    """(flops, peak_bytes) from a compiled XLA executable, best-effort."""
-    flops = peak = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", float("nan")))
-    except Exception as exc:
-        log(f"  cost_analysis unavailable: {exc}")
-    try:
-        ma = compiled.memory_analysis()
-        peak = float(
-            ma.temp_size_in_bytes
-            + ma.output_size_in_bytes
-            + getattr(ma, "generated_code_size_in_bytes", 0)
-        )
-        args_b = float(ma.argument_size_in_bytes)
-    except Exception as exc:
-        log(f"  memory_analysis unavailable: {exc}")
-        args_b = None
-    return flops, peak, args_b
-
-
 def bench_stage(report, name, jitted, args, fetch, donate_state=False):
-    """Compile, analyze, (maybe) run, time. Returns last output or None."""
-    t0 = time.time()
-    lowered = jitted.lower(*args)
-    compiled = lowered.compile()
-    compile_s = time.time() - t0
-    flops, peak, args_b = analyze(compiled)
-    entry = {"compile_s": round(compile_s, 1)}
-    if flops is not None:
-        entry["tflop"] = round(flops / 1e12, 3)
-    if peak is not None:
-        entry["peak_temp_gb"] = round(peak / 1e9, 2)
-        total = peak + (args_b or 0)
-        if total > HBM_BUDGET_BYTES:
-            log(f"{name}: SKIPPED (compiled peak {total/1e9:.1f} GB > budget)")
-            entry["skipped_oom_guard"] = True
-            report[name] = entry
-            return None
+    """Compile (HBM-guarded), analyze, (maybe) run, time.
+
+    Returns last output or None. Guard + peak formula live in
+    pod_compare_tpu/utils/hbm_guard.py (one implementation shared with
+    bench.py and bench_train_variants.py). Runs the guard's executable
+    directly — re-entering jit re-compiles whenever the persistent-cache
+    load fails (intermittent on this platform)."""
+    from pod_compare_tpu.utils.hbm_guard import guarded_compile
+
+    compiled, entry = guarded_compile(jitted, args, name=name, log=log)
+    if compiled is None:
+        report[name] = entry
+        return None
+    flops = entry.get("tflop", 0.0) * 1e12
     out = None
     state = args[0] if donate_state else None
     for _ in range(WARMUP):
         if donate_state:
-            out = jitted(state, *args[1:])
+            out = compiled(state, *args[1:])
             state, aux = out
         else:
-            out = jitted(*args)
+            out = compiled(*args)
     _ = fetch(out)
     t0 = time.time()
     for _ in range(TRIALS):
         if donate_state:
-            out = jitted(state, *args[1:])
+            out = compiled(state, *args[1:])
             state, aux = out
         else:
-            out = jitted(*args)
+            out = compiled(*args)
     _ = fetch(out)
     dt = (time.time() - t0) / TRIALS
     entry["ms"] = round(dt * 1e3, 1)
@@ -119,6 +91,7 @@ def main():
     import jax.numpy as jnp
 
     from pod_compare_tpu.utils import enable_persistent_cache
+    from pod_compare_tpu.utils.hbm_guard import synthetic_box
 
     enable_persistent_cache()
 
@@ -160,7 +133,7 @@ def main():
             (rng.rand(BATCH, *BDD_CANVAS, 3) * 255).astype(np.uint8)
         ),
         "gt_boxes": jnp.asarray(
-            np.stack([np.stack([make_box(rng) for _ in range(G)])
+            np.stack([np.stack([synthetic_box(rng) for _ in range(G)])
                       for _ in range(BATCH)])
         ),
         "gt_classes": jnp.asarray(rng.randint(0, 7, (BATCH, G)), jnp.int32),
@@ -311,14 +284,6 @@ def main():
     if ms:
         report["img_per_s"] = round(BATCH / (ms / 1e3), 1)
     print(json.dumps(report, indent=2))
-
-
-def make_box(rng):
-    x1 = rng.rand() * 1000
-    y1 = rng.rand() * 600
-    w = 20 + rng.rand() * 200
-    h = 20 + rng.rand() * 100
-    return np.array([x1, y1, x1 + w, y1 + h], np.float32)
 
 
 if __name__ == "__main__":

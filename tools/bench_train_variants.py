@@ -28,19 +28,10 @@ import numpy as np
 BDD_CANVAS = (736, 1280)
 TRIALS = 6
 WARMUP = 3
-HBM_BUDGET_BYTES = 13.5e9
 
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
-
-
-def make_box(rng):
-    x1 = rng.rand() * 1000
-    y1 = rng.rand() * 600
-    w = 20 + rng.rand() * 200
-    h = 20 + rng.rand() * 100
-    return np.array([x1, y1, x1 + w, y1 + h], np.float32)
 
 
 def run_variant(name, batch, cls_var_loss, dropout_rate,
@@ -64,6 +55,8 @@ def run_variant(name, batch, cls_var_loss, dropout_rate,
     )
     cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN = shared_masks
 
+    from pod_compare_tpu.utils.hbm_guard import guarded_compile, synthetic_box
+
     model = build_model(cfg)
     gen = build_anchor_generator(cfg)
     anchors = jnp.asarray(gen.concatenated(BDD_CANVAS))
@@ -75,7 +68,7 @@ def run_variant(name, batch, cls_var_loss, dropout_rate,
             (rng.rand(batch, *BDD_CANVAS, 3) * 255).astype(np.uint8)
         ),
         "gt_boxes": jnp.asarray(
-            np.stack([np.stack([make_box(rng) for _ in range(G)])
+            np.stack([np.stack([synthetic_box(rng) for _ in range(G)])
                       for _ in range(batch)])
         ),
         "gt_classes": jnp.asarray(rng.randint(0, 7, (batch, G)), jnp.int32),
@@ -83,37 +76,23 @@ def run_variant(name, batch, cls_var_loss, dropout_rate,
     }
     step = make_train_step(cfg, model, anchors, mesh=None)
 
-    t0 = time.time()
-    compiled = step.lower(state, batch_data).compile()
-    compile_s = time.time() - t0
-    entry = {"compile_s": round(compile_s, 1), "batch": batch}
-    try:
-        ma = compiled.memory_analysis()
-        peak = ma.temp_size_in_bytes + ma.argument_size_in_bytes + \
-            ma.output_size_in_bytes
-        entry["peak_hbm_gb"] = round(peak / 1e9, 2)
-        if peak > HBM_BUDGET_BYTES:
-            log(f"{name}: SKIPPED (peak {peak/1e9:.1f} GB > budget)")
-            entry["skipped_oom_guard"] = True
-            return entry
-    except Exception as exc:
-        log(f"{name}: memory_analysis unavailable ({exc}); proceeding")
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        entry["tflop"] = round(float(ca.get("flops", 0.0)) / 1e12, 3)
-    except Exception:
-        pass
+    compiled, entry = guarded_compile(
+        step, (state, batch_data), name=name, log=log,
+    )
+    entry["batch"] = batch
+    if compiled is None:
+        return entry
 
+    # Run the guard's executable directly — re-entering jit re-compiles
+    # whenever the persistent-cache load fails (intermittent here).
     out = None
     for _ in range(WARMUP):
-        out = step(state, batch_data)
+        out = compiled(state, batch_data)
         state = out[0]
     _ = np.asarray(out[1]["total_loss"])
     t0 = time.time()
     for _ in range(TRIALS):
-        out = step(state, batch_data)
+        out = compiled(state, batch_data)
         state = out[0]
     _ = np.asarray(out[1]["total_loss"])
     dt = (time.time() - t0) / TRIALS
