@@ -60,6 +60,7 @@ def run_inference(
     min_allowed_score=None,
     loader=None,
     predictor=None,
+    run_pdq: bool = False,
 ):
     """Run the full inference + evaluation pipeline; returns a summary dict.
 
@@ -201,6 +202,21 @@ def run_inference(
             inference_output_dir, test_dataset, train_dataset,
             min_allowed_score=min_allowed_score, verbose=verbose,
         )
+    if run_pdq:
+        # First-party PDQ (Hall et al. WACV 2020) — the reference defers
+        # this metric to external code (README.md:125).
+        from pod_compare_tpu.evaluation.category_mapping import (
+            dataset_id_to_model_contiguous_map,
+        )
+        from pod_compare_tpu.evaluation.pdq import evaluate_pdq
+
+        summary["pdq"] = evaluate_pdq(
+            inference_output_dir,
+            get_dataset(test_dataset).json_file,
+            dataset_id_to_model_contiguous_map(train_dataset, test_dataset),
+            min_allowed_score=min_allowed_score or 0.0,
+            verbose=verbose,
+        )
     return summary
 
 
@@ -215,6 +231,7 @@ def main(args, batch_size: int = 8, profile: bool = False):
         cfg, test_dataset, inference_name, batch_size=batch_size,
         profile=profile,
         min_allowed_score=args.min_allowed_score or None,
+        run_pdq=getattr(args, "run_pdq", False),
     )
     # Copy the inference config next to its artifacts for provenance
     # (reference: apply_net.py:48-51).
@@ -238,6 +255,10 @@ if __name__ == "__main__":
     parser = setup_arg_parser()
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--profile", action="store_true")
+    parser.add_argument(
+        "--run-pdq", action="store_true", dest="run_pdq",
+        help="also score with first-party PDQ (evaluation/pdq.py)",
+    )
     args = parser.parse_args()
     print("Command Line Args:", args)
     main(args, batch_size=args.batch_size, profile=args.profile)
