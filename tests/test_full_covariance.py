@@ -169,6 +169,20 @@ def test_full_covariance_bayes_od_e2e(full_cov_setup):
         if np.abs(cov - np.diag(np.diag(cov))).max() > 1e-8:
             off_diag_seen = True
     assert off_diag_seen, "full-covariance head produced no off-diagonals"
+
+    # First-party PDQ runs end to end on the real pipeline json (the
+    # reference defers PDQ to external code, README.md:125).
+    from pod_compare_tpu.data.datasets import get_dataset
+    from pod_compare_tpu.evaluation.pdq import evaluate_pdq
+
+    pdq = evaluate_pdq(
+        summary["inference_output_dir"],
+        get_dataset(name).json_file,
+        {i + 1: i for i in range(3)},
+        verbose=False,
+    )
+    assert np.isfinite(pdq["pdq"]) and 0.0 <= pdq["pdq"] <= 1.0
+    assert pdq["tp"] + pdq["fn"] > 0  # every gt is accounted for
     # metric chain ran end to end; values can legitimately be NaN for a
     # 2-step-trained model whose raw covariances are ~1e6-scale and
     # f32-non-PSD (the reference's torch MVN would refuse them outright —
