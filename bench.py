@@ -206,11 +206,16 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as exc:  # backend Unavailable/Internal etc.
+        # Observed worker-recovery times range from ~10 min to multiple
+        # hours (2026-08-17: a concurrency-triggered fault took >3 h), so
+        # the retry schedule backs off: 5 attempts over ~35 min buys the
+        # common case without stalling the driver for the pathological one.
         attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
-        if attempt >= 2:
+        if attempt >= 4:
             raise
+        delay = 180 * (attempt + 1)
         log(f"bench attempt {attempt + 1} failed ({exc}); "
-            f"re-execing in 300s...")
-        time.sleep(300)
+            f"re-execing in {delay}s...")
+        time.sleep(delay)
         os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
