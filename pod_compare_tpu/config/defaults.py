@@ -135,6 +135,12 @@ def get_cfg() -> ConfigNode:
     # (tests/test_pipeline_parity.py).
     _C.PROBABILISTIC_INFERENCE.CLS_SAMPLING = "analytic"
     _C.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "analytic"
+    # Int8-quantized head-tower evaluation at inference ('none' | 'int8').
+    # Exceeds the reference (no quantized path there): per-channel int8
+    # weights + dynamic per-image activation scales, int32 MXU
+    # accumulation (ops/quant.py). Output convs stay full-precision. A
+    # serving knob — default off; accuracy deltas are measured, not zero.
+    _C.PROBABILISTIC_INFERENCE.HEAD_QUANT = "none"
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT = ConfigNode()
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = False
     _C.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 1

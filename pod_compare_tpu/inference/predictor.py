@@ -63,7 +63,9 @@ class ProbabilisticPredictor:
         self.cfg = cfg
         self.image_size = tuple(image_size)
         self.mesh = mesh
-        self.model = build_model(cfg)
+        self.model = build_model(
+            cfg, head_quant=cfg.PROBABILISTIC_INFERENCE.HEAD_QUANT
+        )
         gen = build_anchor_generator(cfg)
         self.anchors = jnp.asarray(gen.concatenated(self.image_size))
         # Static per-level anchor counts: candidate top-k runs per FPN

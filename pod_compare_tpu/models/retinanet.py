@@ -37,6 +37,45 @@ from pod_compare_tpu.ops.anchors import AnchorGenerator
 Dtype = Any
 
 
+class TowerConv3(nn.Module):
+    """3x3 SAME conv for the head towers with an optional int8-quantized
+    evaluation path (`ops/quant.py`; knob PROBABILISTIC_INFERENCE.HEAD_QUANT).
+
+    Parameter tree ('kernel', 'bias') and full-precision numerics are
+    identical to the `nn.Conv` it replaces, so checkpoints and the torch
+    converter are unaffected; only the evaluation path switches.
+    """
+
+    features: int
+    in_features: int
+    kernel_init: Any
+    bias_init: Any
+    dtype: Dtype = jnp.float32
+    quant: str = "none"  # 'none' | 'int8'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, act_signed: bool = True) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, self.in_features, self.features),
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if self.quant == "int8":
+            from pod_compare_tpu.ops.quant import quantized_conv3x3
+
+            return quantized_conv3x3(x, kernel, bias, act_signed=act_signed)
+        if self.quant != "none":
+            raise ValueError(f"Unknown head quantization mode {self.quant!r}.")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ProbabilisticRetinaNetHead(nn.Module):
     """Shared RetinaNet head with probabilistic outputs
     (reference: probabilistic_retinanet.py:364-537)."""
@@ -53,6 +92,11 @@ class ProbabilisticRetinaNetHead(nn.Module):
     compute_bbox_cov: bool = False
     bbox_cov_dims: int = 4
     channels: int = 256
+    # int8-quantized tower evaluation for inference serving
+    # (PROBABILISTIC_INFERENCE.HEAD_QUANT; ops/quant.py). Output convs stay
+    # full-precision — they are <10% of head FLOPs and feed the metric-
+    # sensitive mean outputs directly. Training never sets this.
+    head_quant: str = "none"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -71,14 +115,18 @@ class ProbabilisticRetinaNetHead(nn.Module):
         # Individual attributes keep the reference-compatible param names
         # (cls_subnet_conv{i}, ...) used by the checkpoint converter.
         for i in range(self.num_convs):
-            setattr(
-                self, f"cls_subnet_conv{i}",
-                conv3(self.channels, normal01, nn.initializers.zeros),
-            )
-            setattr(
-                self, f"bbox_subnet_conv{i}",
-                conv3(self.channels, normal01, nn.initializers.zeros),
-            )
+            for prefix in ("cls_subnet", "bbox_subnet"):
+                setattr(
+                    self, f"{prefix}_conv{i}",
+                    TowerConv3(
+                        features=self.channels,
+                        in_features=self.channels,
+                        kernel_init=normal01,
+                        bias_init=nn.initializers.zeros,
+                        dtype=self.dtype,
+                        quant=self.head_quant,
+                    ),
+                )
 
         # Output convs. Bias/weight init replicates the reference:
         # cls_score bias = -log((1-p)/p); cls_var bias = -10 (tiny initial
@@ -167,7 +215,10 @@ class ProbabilisticRetinaNetHead(nn.Module):
         use_dropout = self.dropout_rate > 0.0 and not deterministic
         for i, conv in enumerate(convs):
             if not (skip_first and i == 0):
-                x = nn.relu(conv(x))
+                # Only conv0 sees signed inputs (raw FPN features); later
+                # layers are post-ReLU — the int8 path exploits this with a
+                # one-pass unsigned activation scale (ops/quant.py).
+                x = nn.relu(conv(x, act_signed=(i == 0)))
             if use_dropout:
                 if masks is not None:
                     x = apply_mask(x, masks[i], self.dropout_rate)
@@ -313,6 +364,7 @@ class ProbabilisticRetinaNet(nn.Module):
     compute_cls_var: bool = False
     compute_bbox_cov: bool = False
     bbox_cov_dims: int = 4
+    head_quant: str = "none"
     freeze_at: int = 2
     pixel_mean: Tuple[float, ...] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
@@ -338,6 +390,7 @@ class ProbabilisticRetinaNet(nn.Module):
             compute_bbox_cov=self.compute_bbox_cov,
             bbox_cov_dims=self.bbox_cov_dims,
             channels=self.fpn_channels,
+            head_quant=self.head_quant,
             dtype=self.dtype,
         )
 
@@ -400,9 +453,13 @@ class ProbabilisticRetinaNet(nn.Module):
         )
 
 
-def build_model(cfg) -> ProbabilisticRetinaNet:
+def build_model(cfg, head_quant: str = "none") -> ProbabilisticRetinaNet:
     """Construct the flagship model from a config node
-    (reference: build_model via META_ARCH_REGISTRY, train_net.py:79)."""
+    (reference: build_model via META_ARCH_REGISTRY, train_net.py:79).
+
+    `head_quant` is passed explicitly by the inference predictor
+    (PROBABILISTIC_INFERENCE.HEAD_QUANT) rather than read from cfg so the
+    training path can never silently build a quantized model."""
     pm = cfg.MODEL.PROBABILISTIC_MODELING
     compute_cls_var = pm.CLS_VAR_LOSS.NAME != "none"
     compute_bbox_cov = pm.BBOX_COV_LOSS.NAME != "none"
@@ -423,6 +480,7 @@ def build_model(cfg) -> ProbabilisticRetinaNet:
         compute_cls_var=compute_cls_var,
         compute_bbox_cov=compute_bbox_cov,
         bbox_cov_dims=bbox_cov_dims,
+        head_quant=head_quant,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),

@@ -1,3 +1,21 @@
-from pod_compare_tpu.ops import anchors, boxes, fusion, gaussian, losses, matcher, nms
+from pod_compare_tpu.ops import (
+    anchors,
+    boxes,
+    fusion,
+    gaussian,
+    losses,
+    matcher,
+    nms,
+    quant,
+)
 
-__all__ = ["anchors", "boxes", "fusion", "gaussian", "losses", "matcher", "nms"]
+__all__ = [
+    "anchors",
+    "boxes",
+    "fusion",
+    "gaussian",
+    "losses",
+    "matcher",
+    "nms",
+    "quant",
+]
