@@ -22,7 +22,10 @@ import numpy as np
 from pod_compare_tpu.config import setup_arg_parser, setup_config
 from pod_compare_tpu.data.datasets import get_dataset
 from pod_compare_tpu.data.loader import TestLoader
-from pod_compare_tpu.evaluation.average_precision import evaluate_average_precision
+from pod_compare_tpu.evaluation.average_precision import (
+    evaluate_average_precision,
+    read_optimal_score_threshold,
+)
 from pod_compare_tpu.evaluation.calibration_errors import evaluate_calibration_errors
 from pod_compare_tpu.evaluation.category_mapping import model_to_dataset_id_map
 from pod_compare_tpu.evaluation.probabilistic_metrics import (
@@ -210,11 +213,20 @@ def run_inference(
         )
         from pod_compare_tpu.evaluation.pdq import evaluate_pdq
 
+        # Resolve the optimal-F1 threshold from mAP_res.txt like the
+        # sibling metric suites do, so every metric in this summary scores
+        # the SAME detection set.
+        pdq_score = min_allowed_score
+        if pdq_score is None:
+            try:
+                pdq_score = read_optimal_score_threshold(inference_output_dir)
+            except FileNotFoundError:
+                pdq_score = 0.0
         summary["pdq"] = evaluate_pdq(
             inference_output_dir,
             get_dataset(test_dataset).json_file,
             dataset_id_to_model_contiguous_map(train_dataset, test_dataset),
-            min_allowed_score=min_allowed_score or 0.0,
+            min_allowed_score=pdq_score,
             verbose=verbose,
         )
     return summary

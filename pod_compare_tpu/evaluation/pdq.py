@@ -30,17 +30,24 @@ Definitions implemented (paper §3, corner-Gaussian "PBox" detections):
 * PDQ = (sum of TP pPDQ) / (N_TP + N_FP + N_FN) over the dataset.
 
 The bivariate-Gaussian corner CDF is evaluated exactly (to quadrature
-accuracy) on the whole pixel grid via the conditional decomposition
+accuracy) on the pixel grid via the conditional decomposition
 F(u, v) = INT_{-inf}^{u} phi(x) Phi((v - m_y - rho sy/sx (x - m_x)) /
 (sy sqrt(1-rho^2))) dx — one 513-point x-quadrature per corner gives
 every (u, v) at once by cumulative sum + interpolation (O(X·H + W·H),
 not O(W·H·X)).
+
+Per-detection work is restricted to the ±9σ pixel window around the
+detection's corner Gaussians: outside it P(p in det) is 0 to float64
+precision (the CDF quadrature spans ±8σ and ndtr saturates by 9σ), so
+background pixels there contribute log(1-0) = 0 and gt pixels there
+contribute exactly log(eps). This makes the evaluator O(window) instead
+of O(image) per detection (~100x at BDD geometry) with the far-field
+quadrature noise of a full-image evaluation removed rather than summed.
 """
 
 import json
 import os
-from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -89,13 +96,32 @@ def bivariate_cdf_grid(
     return f.T  # (V, U)
 
 
-def prob_in_map(
-    box: np.ndarray, cov4: np.ndarray, width: int, height: int
+def _detection_window(
+    box: np.ndarray, cov4: np.ndarray, width: int, height: int,
+    n_sigma: float = 9.0,
+) -> Tuple[int, int, int, int]:
+    """Pixel window (r0, r1, c0, c1) outside which the detection's
+    inclusion probability is 0 to float64 precision."""
+    sx1 = np.sqrt(max(cov4[0, 0], _MIN_VAR))
+    sy1 = np.sqrt(max(cov4[1, 1], _MIN_VAR))
+    sx2 = np.sqrt(max(cov4[2, 2], _MIN_VAR))
+    sy2 = np.sqrt(max(cov4[3, 3], _MIN_VAR))
+    c0 = int(np.clip(np.floor(min(box[0] - n_sigma * sx1,
+                                  box[2] - n_sigma * sx2)), 0, width))
+    c1 = int(np.clip(np.ceil(max(box[0] + n_sigma * sx1,
+                                 box[2] + n_sigma * sx2)), 0, width))
+    r0 = int(np.clip(np.floor(min(box[1] - n_sigma * sy1,
+                                  box[3] - n_sigma * sy2)), 0, height))
+    r1 = int(np.clip(np.ceil(max(box[1] + n_sigma * sy1,
+                                 box[3] + n_sigma * sy2)), 0, height))
+    return r0, r1, c0, c1
+
+
+def _prob_in_grid(
+    box: np.ndarray, cov4: np.ndarray, us: np.ndarray, vs: np.ndarray
 ) -> np.ndarray:
-    """(H, W) probability that each pixel center lies inside the
-    corner-Gaussian probabilistic box."""
-    us = np.arange(width) + 0.5
-    vs = np.arange(height) + 0.5
+    """(len(vs), len(us)) probability that each pixel center lies inside
+    the corner-Gaussian probabilistic box."""
     tl = bivariate_cdf_grid(box[0:2], cov4[0:2, 0:2], us, vs)
     # P(X2 >= u, Y2 >= v) = 1 - Fx(u) - Fy(v) + F(u, v)
     sx2 = np.sqrt(max(cov4[2, 2], _MIN_VAR))
@@ -105,6 +131,16 @@ def prob_in_map(
     fbr = bivariate_cdf_grid(box[2:4], cov4[2:4, 2:4], us, vs)
     br_sf = 1.0 - fx2[None, :] - fy2[:, None] + fbr
     return np.clip(tl, 0.0, 1.0) * np.clip(br_sf, 0.0, 1.0)
+
+
+def prob_in_map(
+    box: np.ndarray, cov4: np.ndarray, width: int, height: int
+) -> np.ndarray:
+    """(H, W) probability that each pixel center lies inside the
+    corner-Gaussian probabilistic box (full-image grid)."""
+    return _prob_in_grid(
+        box, cov4, np.arange(width) + 0.5, np.arange(height) + 0.5
+    )
 
 
 def _pairwise_ppdq(
@@ -127,20 +163,51 @@ def _pairwise_ppdq(
         c1 = min(int(np.ceil(x2)), width)
         r1 = min(int(np.ceil(y2)), height)
         gt_regions.append((r0, r1, c0, c1))
+    log_eps = float(np.log(_P_EPS))
     for i in range(n_det):
-        pmap = prob_in_map(det["boxes"][i], det["covs"][i], width, height)
-        log_p = np.log(np.clip(pmap, _P_EPS, 1.0))
-        log_not_p = np.log(np.clip(1.0 - pmap, _P_EPS, 1.0))
-        total_log_not_p = float(log_not_p.sum())
+        if not (
+            np.isfinite(det["boxes"][i]).all()
+            and np.isfinite(det["covs"][i]).all()
+        ):
+            # Leave the row at 0: the assignment threshold counts this
+            # detection as an FP instead of aborting the whole evaluation.
+            continue
+        # Everything outside the ±9σ window has p = 0 exactly: background
+        # pixels there contribute log(1-0) = 0 and gt pixels log(eps).
+        wr0, wr1, wc0, wc1 = _detection_window(
+            det["boxes"][i], det["covs"][i], width, height
+        )
+        if wr1 > wr0 and wc1 > wc0:
+            pmap = _prob_in_grid(
+                det["boxes"][i], det["covs"][i],
+                np.arange(wc0, wc1) + 0.5, np.arange(wr0, wr1) + 0.5,
+            )
+            log_p = np.log(np.clip(pmap, _P_EPS, 1.0))
+            log_not_p = np.log(np.clip(1.0 - pmap, _P_EPS, 1.0))
+            total_log_not_p = float(log_not_p.sum())
+        else:
+            log_p = log_not_p = None
+            total_log_not_p = 0.0
         for j in range(n_gt):
             r0, r1, c0, c1 = gt_regions[j]
             if r1 <= r0 or c1 <= c0:
                 continue
-            seg_log_p = log_p[r0:r1, c0:c1]
-            l_fg = float(seg_log_p.sum())
-            # background = everything outside the gt box
-            l_bg = total_log_not_p - float(log_not_p[r0:r1, c0:c1].sum())
             n_seg = (r1 - r0) * (c1 - c0)
+            ir0, ir1 = max(r0, wr0), min(r1, wr1)
+            ic0, ic1 = max(c0, wc0), min(c1, wc1)
+            if log_p is not None and ir1 > ir0 and ic1 > ic0:
+                n_in = (ir1 - ir0) * (ic1 - ic0)
+                l_fg = float(
+                    log_p[ir0 - wr0:ir1 - wr0, ic0 - wc0:ic1 - wc0].sum()
+                ) + (n_seg - n_in) * log_eps
+                # background = window pixels outside the gt box (the rest
+                # of the image contributes log(1-0) = 0)
+                l_bg = total_log_not_p - float(
+                    log_not_p[ir0 - wr0:ir1 - wr0, ic0 - wc0:ic1 - wc0].sum()
+                )
+            else:
+                l_fg = n_seg * log_eps
+                l_bg = total_log_not_p
             q_s = float(np.exp((l_fg + l_bg) / n_seg))
             model_idx = cat_mapping.get(int(gts["cats"][j]), None)
             q_l = (
@@ -152,6 +219,11 @@ def _pairwise_ppdq(
             q_spatial[i, j] = q_s
             q_label[i, j] = q_l
             ppdq[i, j] = np.sqrt(q_s * q_l)
+    # A non-finite covariance/box entry in ONE detection must not abort the
+    # dataset evaluation via linear_sum_assignment — score that pair 0.
+    ppdq = np.nan_to_num(ppdq, nan=0.0, posinf=0.0, neginf=0.0)
+    q_spatial = np.nan_to_num(q_spatial, nan=0.0, posinf=0.0, neginf=0.0)
+    q_label = np.nan_to_num(q_label, nan=0.0, posinf=0.0, neginf=0.0)
     return ppdq, q_spatial, q_label
 
 
@@ -211,6 +283,21 @@ def evaluate_pdq(
         sum_ppdq += float(ppdq[rows, cols][assigned].sum())
         tp_spatial.extend(q_s[rows, cols][assigned].tolist())
         tp_label.extend(q_l[rows, cols][assigned].tolist())
+
+    # Detections on images absent from the gt json are unassigned by
+    # definition — PDQ counts every unassigned detection as an FP; dropping
+    # them would silently inflate the score.
+    orphan_fp = sum(
+        len(det["boxes"]) for iid, det in preds.items() if iid not in dims
+    )
+    if orphan_fp:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "PDQ: %d detections reference image ids missing from the gt "
+            "json; counted as false positives.", orphan_fp,
+        )
+        total_fp += orphan_fp
 
     denom = max(total_tp + total_fp + total_fn, 1)
     out = {

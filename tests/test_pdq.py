@@ -8,7 +8,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 from scipy.special import ndtr
 
 from pod_compare_tpu.evaluation.pdq import (
@@ -144,6 +143,57 @@ def test_pdq_uncertainty_monotonicity(tmp_path):
             evaluate_pdq(out_dir, gt_path, CAT_MAP, verbose=False)["pdq"]
         )
     assert scores[0] > scores[1] > scores[2] > 0.0, scores
+
+
+def test_pdq_orphan_detection_counts_fp(tmp_path):
+    """Detections on an image id absent from the gt json are FPs, not
+    silently dropped."""
+    out_dir, gt_path = _write_case(
+        tmp_path,
+        [_det(0, [10, 8, 20, 16], [1.0, 0.0]),
+         _det(7, [10, 8, 20, 16], [1.0, 0.0])],  # image 7 not in gt
+        [{"image_id": 0, "category_id": 1, "bbox": [10, 8, 20, 16]}],
+        IMAGES,
+    )
+    out = evaluate_pdq(out_dir, gt_path, CAT_MAP, verbose=False)
+    assert out["tp"] == 1 and out["fp"] == 1 and out["fn"] == 0
+
+
+def test_pdq_nonfinite_covariance_is_fp_not_crash(tmp_path):
+    """One NaN covariance must not abort the dataset evaluation; the bad
+    detection scores 0 (FP) and the good one still matches."""
+    bad = _det(0, [40, 30, 15, 10], [1.0, 0.0], cat=2)
+    bad["bbox_covar"] = (np.full((4, 4), np.nan)).tolist()
+    out_dir, gt_path = _write_case(
+        tmp_path,
+        [_det(0, [10, 8, 20, 16], [1.0, 0.0]), bad],
+        [{"image_id": 0, "category_id": 1, "bbox": [10, 8, 20, 16]}],
+        IMAGES,
+    )
+    out = evaluate_pdq(out_dir, gt_path, CAT_MAP, verbose=False)
+    assert out["tp"] == 1 and out["fp"] == 1
+    assert np.isfinite(out["pdq"]) and out["pdq"] > 0.3
+
+
+def test_pdq_window_matches_full_grid():
+    """The ±9σ windowed probability map equals the full-image map on the
+    window, and the full map is ~0 outside it."""
+    from pod_compare_tpu.evaluation.pdq import _detection_window, _prob_in_grid
+
+    box = np.array([20.0, 12.0, 36.0, 28.0])
+    cov = np.eye(4) * 2.0
+    W, H = 96, 64
+    full = prob_in_map(box, cov, W, H)
+    r0, r1, c0, c1 = _detection_window(box, cov, W, H)
+    win = _prob_in_grid(box, cov, np.arange(c0, c1) + 0.5,
+                        np.arange(r0, r1) + 0.5)
+    np.testing.assert_allclose(win, full[r0:r1, c0:c1], rtol=0, atol=1e-12)
+    # Outside the window the full-grid map holds only far-field trapezoid
+    # quadrature noise (measured ~3e-5); the true probability there is 0 to
+    # float64 precision, and the windowed evaluator treats it as exactly 0.
+    outside = full.copy()
+    outside[r0:r1, c0:c1] = 0.0
+    assert outside.max() < 1e-4
 
 
 def test_pdq_missed_gt_image(tmp_path):

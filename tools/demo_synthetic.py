@@ -88,6 +88,10 @@ def main(iters: int, out_dir: str):
             node[parts[-1]] = value
         summary = run_inference(
             mcfg, name, mode_name, batch_size=8, params=params, verbose=True,
+            # Exercise the first-party PDQ path (threshold resolved from
+            # mAP_res.txt) on one mode so the demo covers the full metric
+            # surface.
+            run_pdq=(mode_name == "bayes_od"),
         )
         viz_dir = visualize_dataset(
             name,
