@@ -43,8 +43,11 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # Compile-only bisect (2026-08-17, NOT executed): peak HBM b32=12.02,
 # b36=13.50, b40=15.46 GB -> b48 extrapolates to ~18.4 GB, past the
 # chip's ~16 GB, which quantifies the crash; b32 is the practical max.
-# The reference-exact mc_iid leg carries a ~2.3 GB/16-image MVN sample
-# bank, so it runs at a smaller batch.
+# The reference-exact mc_iid leg is pinned to 16: larger batches
+# compile clean (compile-time peak HBM b24=9.08, b32=11.94 GB — under
+# the 13.5 GB budget) but a b24->b32 measurement sweep crashed the v5e
+# worker anyway (2026-08-18), so compile-time analysis does NOT bound
+# this pipeline's runtime footprint; 16 is the proven-safe batch.
 MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "16"))
 # The remote-tunnel platform runs the FIRST measurement window ~25-40%
 # slow before reaching steady state (measured: trial0 25.2 -> trials1+
