@@ -80,12 +80,17 @@ def run_inference(
     # SURVEY.md §2.4): each process runs its strided shard of the test set
     # on its local devices; JSON results are gathered afterwards and the
     # main process runs the metric suite.
+    # batch_size='auto' (or 0): compile-probe descending batch sizes with
+    # the peak-HBM guard and run at the largest that fits the chip — the
+    # guard compiles only, so an oversized candidate costs one compile,
+    # never a worker-crashing runtime OOM.
+    auto_batch = batch_size in ("auto", 0, None)
     process_count = jax.process_count()
     if loader is None:
         dataset = get_dataset(test_dataset)
         loader = TestLoader(
             dataset,
-            batch_size=batch_size,
+            batch_size=1 if auto_batch else batch_size,
             min_size=cfg.INPUT.MIN_SIZE_TEST,
             max_size=cfg.INPUT.MAX_SIZE_TEST,
             divisibility=cfg.INPUT.SIZE_DIVISIBILITY,
@@ -104,6 +109,36 @@ def run_inference(
 
             mesh = create_mesh(cfg.PARALLEL.NUM_DEVICES)
         predictor = build_predictor(cfg, canvas, params, params_list, mesh=mesh)
+
+    if auto_batch:
+        import jax.numpy as jnp
+
+        from pod_compare_tpu.utils.hbm_guard import pick_max_batch
+
+        key = jax.random.PRNGKey(0)
+
+        def make_args(b):
+            sizes = jax.ShapeDtypeStruct((b, 2), jnp.float32)
+            return (
+                predictor.params,
+                jax.ShapeDtypeStruct((b, *canvas, 3), jnp.float32),
+                jax.ShapeDtypeStruct(key.shape, key.dtype),
+                sizes,
+                sizes,
+            )
+
+        chosen, _, _ = pick_max_batch(
+            predictor._fn, make_args, (32, 24, 16, 8, 4, 2, 1),
+            name=f"{inference_name}_auto",
+            log=lambda m: logger.info(m),
+        )
+        if chosen is None:
+            raise RuntimeError(
+                "no candidate batch size fits the HBM budget "
+                "(utils/hbm_guard.py) — reduce the canvas or model"
+            )
+        loader.batch_size = chosen
+        logger.info(f"auto batch size: {chosen}")
 
     train_dataset = cfg.DATASETS.TRAIN[0]
     cat_mapping = model_to_dataset_id_map(train_dataset, test_dataset)
@@ -265,7 +300,11 @@ def main(args, batch_size: int = 8, profile: bool = False):
 
 if __name__ == "__main__":
     parser = setup_arg_parser()
-    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument(
+        "--batch-size", default="8",
+        help="images per device batch, or 'auto' to compile-probe the "
+             "largest batch that fits HBM",
+    )
     parser.add_argument("--profile", action="store_true")
     parser.add_argument(
         "--run-pdq", action="store_true", dest="run_pdq",
@@ -273,4 +312,5 @@ if __name__ == "__main__":
     )
     args = parser.parse_args()
     print("Command Line Args:", args)
-    main(args, batch_size=args.batch_size, profile=args.profile)
+    batch = args.batch_size if args.batch_size == "auto" else int(args.batch_size)
+    main(args, batch_size=batch, profile=args.profile)

@@ -85,11 +85,15 @@ def get_cfg() -> ConfigNode:
     _C.MODEL.PROBABILISTIC_MODELING = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.ANNEALING_STEP = 0
     _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.0
-    # dropout mask-bit source: 'bernoulli' (threefry), 'packed2'/'packed4'
-    # (N keep decisions per threefry u32), 'rbg' (XLA RngBitGenerator) —
-    # see ops/pallas/dropout.py::dropout. Perf knob; identical
-    # distribution up to threshold quantization (2^-16 / 2^-8 / 2^-32).
-    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = "bernoulli"
+    # dropout implementation: 'auto' (measured-fastest per context —
+    # hardware-PRNG pallas replay kernel for per-sample TRAINING masks on
+    # TPU [+5% step throughput at batch 16, DESIGN.md §5b], fused threefry
+    # for batch-shared masks / the MC inference bank, bernoulli off-TPU),
+    # or pin one of: 'bernoulli' (threefry), 'packed2'/'packed4', 'rbg'
+    # (XLA RngBitGenerator), 'pallas'. Identical Bernoulli(1-rate) law in
+    # every mode (up to threshold quantization 2^-16/2^-8/2^-32);
+    # only the PRNG stream differs.
+    _C.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = "auto"
     # TPU-native throughput option (default False = reference-exact iid):
     # share TRAINING dropout masks across the batch axis, like the MC
     # inference bank's PROBABILISTIC_INFERENCE.MC_DROPOUT
@@ -110,6 +114,15 @@ def get_cfg() -> ConfigNode:
     # correlated across the images of one step. Cuts the bank's RNG bits
     # by the batch size (measured in DESIGN.md §5b).
     _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES = False
+    # Sample-bank backend: 'threefry' (jax.random inside the XLA graph) or
+    # 'pallas' (fused TPU kernel — hardware PRNG, Box-Muller, focal fwd +
+    # analytic gradients in one VMEM pass; ops/pallas/focal.py). Identical
+    # per-element law (iid N(logit, exp(log_var)) samples); different
+    # stream. Falls back to threefry off-TPU. 'pallas' is a MEASURED
+    # NEGATIVE RESULT on v5e (63.2 vs 83.5 img/s at batch 16 — it must
+    # materialize loss+gradient planes the fused threefry bank never
+    # writes to HBM; DESIGN.md §5b) — kept opt-in as documentation.
+    _C.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.IMPL = "threefry"
     _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS = ConfigNode()
     _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = "none"
     _C.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.COVARIANCE_TYPE = "diagonal"

@@ -157,14 +157,29 @@ class ProbabilisticRetinaNetHead(nn.Module):
             getattr(self, f"{prefix}_conv{i}") for i in range(self.num_convs)
         ]
 
+    def _resolved_dropout_impl(self, shared_batch: bool) -> str:
+        """Resolve DROPOUT_IMPL='auto' by where each impl measured fastest
+        on v5e (DESIGN.md §5b/§5): per-sample TRAINING masks -> the
+        hardware-PRNG replay kernel (its seed-replayed backward avoids
+        the mask store/recompute that costs the threefry path ~9 ms/step
+        at batch 16); batch-shared masks (the MC inference bank) -> fused
+        threefry draws, which beat the kernel there (the pallas_call
+        boundary breaks conv fusion); off-TPU -> plain bernoulli."""
+        import jax as _jax
+
+        if self.dropout_impl != "auto":
+            return self.dropout_impl
+        if shared_batch or _jax.default_backend() != "tpu":
+            return "bernoulli"
+        return "pallas"
+
     def _dropout(self, x, shared_batch: bool = False):
-        # Threefry dropout stays inside the XLA graph (see
-        # ops/pallas/dropout.py for the fusion measurement).
         from pod_compare_tpu.ops.pallas.dropout import dropout
 
         return dropout(
             x, self.make_rng("dropout"), self.dropout_rate, False,
-            impl=self.dropout_impl, shared_batch=shared_batch,
+            impl=self._resolved_dropout_impl(shared_batch),
+            shared_batch=shared_batch,
         )
 
     def _all_masks(self, features, mask_shared_batch: bool):
@@ -181,7 +196,8 @@ class ProbabilisticRetinaNetHead(nn.Module):
         tile-padded ~8x by the TPU layout (measured 345 MB per bool
         slice). Returns masks[level][tower][layer], or None when the impl
         manages its own stream ('pallas')."""
-        if self.dropout_impl == "pallas":
+        impl = self._resolved_dropout_impl(mask_shared_batch)
+        if impl == "pallas":
             return None
         from pod_compare_tpu.ops.pallas.dropout import tower_dropout_masks
 
@@ -195,7 +211,7 @@ class ProbabilisticRetinaNetHead(nn.Module):
             for layer in range(self.num_convs):
                 per_level = tower_dropout_masks(
                     self.make_rng("dropout"), shapes, self.dropout_rate,
-                    impl=self.dropout_impl, dtype=self.dtype,
+                    impl=impl, dtype=self.dtype,
                 )
                 for li in range(len(features)):
                     masks[li][tower][layer] = per_level[li]

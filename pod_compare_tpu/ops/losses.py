@@ -58,6 +58,7 @@ def stochastic_focal_loss(
     alpha: float = 0.25,
     gamma: float = 2.0,
     shared_batch: bool = False,
+    impl: str = "threefry",
 ) -> jnp.ndarray:
     """Loss-attenuation classification loss (Kendall & Gal NeurIPS'17).
 
@@ -76,7 +77,29 @@ def stochastic_focal_loss(
     training from a random (non-pretrained) backbone whose activation scale
     can push exp() past the f32 range. The reference has no clamp here but
     always initializes from ImageNet weights.
+
+    impl: 'threefry' (sample bank inside the XLA graph) or 'pallas'
+    (fused TPU kernel: hardware-PRNG samples + focal forward + analytic
+    gradients in one VMEM pass — ops/pallas/focal.py). Identical
+    per-element law; different PRNG stream. 'pallas' ignores
+    `shared_batch` (its RNG is effectively free, so it always draws the
+    reference-exact iid bank).
     """
+    if impl == "pallas" and jax.default_backend() == "tpu":
+        from pod_compare_tpu.ops.pallas.focal import (
+            stochastic_focal_elem_pallas,
+        )
+
+        seed = jax.random.randint(
+            rng, (), minval=-(2 ** 31), maxval=2 ** 31 - 1, dtype=jnp.int32
+        )
+        targets_b = jnp.broadcast_to(targets, logits.shape).astype(jnp.float32)
+        loss_elem = stochastic_focal_elem_pallas(
+            logits.astype(jnp.float32),
+            logit_log_vars.astype(jnp.float32),
+            targets_b, seed, num_samples, alpha, gamma,
+        )
+        return jnp.sum(jnp.where(valid_mask[..., None], loss_elem, 0.0))
     std = jnp.sqrt(jnp.exp(jnp.clip(logit_log_vars, -10.0, 10.0)))
     if shared_batch and logits.ndim == 3:
         # One (S, R, K) bank broadcast over the batch axis: per-anchor law

@@ -34,6 +34,9 @@ class LossConfig(NamedTuple):
     cls_var_loss: str = "none"  # 'none' | 'loss_attenuation'
     cls_var_num_samples: int = 10
     cls_var_shared_batch: bool = False
+    # 'threefry' | 'pallas' (fused TPU kernel; falls back to threefry
+    # off-TPU — ops/pallas/focal.py)
+    cls_var_impl: str = "threefry"
     # 'none' | 'negative_log_likelihood' | 'second_moment_matching' |
     # 'energy_loss'
     bbox_cov_loss: str = "none"
@@ -56,6 +59,7 @@ class LossConfig(NamedTuple):
             cls_var_loss=pm.CLS_VAR_LOSS.NAME,
             cls_var_num_samples=pm.CLS_VAR_LOSS.NUM_SAMPLES,
             cls_var_shared_batch=pm.CLS_VAR_LOSS.SHARED_BATCH_SAMPLES,
+            cls_var_impl=pm.CLS_VAR_LOSS.IMPL,
             bbox_cov_loss=pm.BBOX_COV_LOSS.NAME,
             bbox_cov_type=pm.BBOX_COV_LOSS.COVARIANCE_TYPE,
             bbox_cov_num_samples=pm.BBOX_COV_LOSS.NUM_SAMPLES,
@@ -116,6 +120,7 @@ def compute_losses(
                 rng, logits, outputs["box_cls_var"], targets, valid_mask,
                 lc.cls_var_num_samples, lc.focal_alpha, lc.focal_gamma,
                 shared_batch=lc.cls_var_shared_batch,
+                impl=lc.cls_var_impl,
             )
             / norm
         )

@@ -70,6 +70,36 @@ def guarded_compile(
     return compiled, info
 
 
+def pick_max_batch(
+    jitted,
+    make_args,
+    candidates,
+    name: str = "program",
+    budget_bytes: float = HBM_BUDGET_BYTES,
+    log=_log,
+):
+    """Largest candidate batch whose compiled peak HBM fits the budget.
+
+    Compile-probes `jitted(*make_args(batch))` for each candidate in the
+    given (descending) order and returns the first fit as
+    (batch, compiled, info); every probe is compile-only (nothing
+    executes — a runtime OOM on the v5e worker costs a ~50-min outage)
+    and lands in the persistent compilation cache, so repeat invocations
+    re-probe cheaply. Returns (None, None, info) when nothing fits.
+    """
+    info_all = {}
+    for batch in candidates:
+        compiled, info = guarded_compile(
+            jitted, make_args(batch), name=f"{name}_b{batch}",
+            budget_bytes=budget_bytes, log=log,
+        )
+        info_all[batch] = info
+        if compiled is not None:
+            log(f"[{name}] auto batch -> {batch}")
+            return batch, compiled, info_all
+    return None, None, info_all
+
+
 def synthetic_box(rng: np.random.RandomState) -> np.ndarray:
     """One plausible BDD-scale XYXY box for synthetic training batches."""
     x1 = rng.rand() * 1000

@@ -35,7 +35,8 @@ def log(m):
 
 
 def run_variant(name, batch, cls_var_loss, dropout_rate,
-                shared_focal=False, shared_masks=False):
+                shared_focal=False, shared_masks=False,
+                dropout_impl="auto", focal_impl="threefry"):
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +55,8 @@ def run_variant(name, batch, cls_var_loss, dropout_rate,
         shared_focal
     )
     cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN = shared_masks
+    cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = dropout_impl
+    cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.IMPL = focal_impl
 
     from pod_compare_tpu.utils.hbm_guard import guarded_compile, synthetic_box
 
@@ -105,7 +108,12 @@ def run_variant(name, batch, cls_var_loss, dropout_rate,
 
 
 VARIANTS = {
+    # 'base' runs the production default (DROPOUT_IMPL='auto' -> the
+    # hardware-PRNG pallas replay kernel for training masks on TPU);
+    # 'threefry_drop' pins the pre-round-3 bernoulli path for comparison.
     "base": dict(batch=16, cls_var_loss="loss_attenuation", dropout_rate=0.2),
+    "threefry_drop": dict(batch=16, cls_var_loss="loss_attenuation",
+                          dropout_rate=0.2, dropout_impl="bernoulli"),
     "nofocal": dict(batch=16, cls_var_loss="none", dropout_rate=0.2),
     "nodrop": dict(batch=16, cls_var_loss="loss_attenuation", dropout_rate=0.0),
     "b24": dict(batch=24, cls_var_loss="loss_attenuation", dropout_rate=0.2),
@@ -115,6 +123,15 @@ VARIANTS = {
                    dropout_rate=0.2, shared_focal=True, shared_masks=True),
     "shared_b24": dict(batch=24, cls_var_loss="loss_attenuation",
                        dropout_rate=0.2, shared_focal=True, shared_masks=True),
+    # Bit-source / kernel experiments on the reference-exact iid step:
+    "rbg_drop": dict(batch=16, cls_var_loss="loss_attenuation",
+                     dropout_rate=0.2, dropout_impl="rbg"),
+    "pallas_focal": dict(batch=16, cls_var_loss="loss_attenuation",
+                         dropout_rate=0.2, focal_impl="pallas"),
+    "pallas_focal_b24": dict(batch=24, cls_var_loss="loss_attenuation",
+                             dropout_rate=0.2, focal_impl="pallas"),
+    "pallas_drop": dict(batch=16, cls_var_loss="loss_attenuation",
+                        dropout_rate=0.2, dropout_impl="pallas"),
 }
 
 
