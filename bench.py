@@ -49,6 +49,9 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # worker anyway (2026-08-18), so compile-time analysis does NOT bound
 # this pipeline's runtime footprint; 16 is the proven-safe batch.
 MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "16"))
+# Training leg (reference-exact iid banks): batch 16 measured 8.07 GB
+# peak / 83.5 img/s (DESIGN.md §5b); proven safe on the v5e worker.
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
 # The remote-tunnel platform runs the FIRST measurement window ~25-40%
 # slow before reaching steady state (measured: trial0 25.2 -> trials1+
 # 34.6 img/s for identical code), so warmup includes full timed trials.
@@ -149,6 +152,62 @@ def measure(sampling: str, batch_size: int, params):
     return img_per_s
 
 
+def measure_train(batch_size: int):
+    """One-chip training throughput (reference-exact iid RNG banks, full
+    probabilistic loss, BDD canvas) — the round-3 flagship training
+    number, logged next to the inference metric. Returns img/s or None
+    when the HBM guard skips."""
+    import jax.numpy as jnp
+
+    from pod_compare_tpu.models import build_anchor_generator, build_model
+    from pod_compare_tpu.train.trainer import create_train_state, make_train_step
+    from pod_compare_tpu.utils.hbm_guard import guarded_compile, synthetic_box
+
+    cfg = build_cfg("analytic")  # model knobs only; sampling unused here
+    cfg.SOLVER.IMS_PER_BATCH = batch_size
+    model = build_model(cfg)
+    gen = build_anchor_generator(cfg)
+    anchors = jnp.asarray(gen.concatenated(BDD_CANVAS))
+    state = create_train_state(cfg, model, BDD_CANVAS, seed=0)
+    rng = np.random.RandomState(0)
+    num_gt = 40
+    batch = {
+        "images": jnp.asarray(
+            (rng.rand(batch_size, *BDD_CANVAS, 3) * 255).astype(np.uint8)
+        ),
+        "gt_boxes": jnp.asarray(
+            np.stack([
+                np.stack([synthetic_box(rng) for _ in range(num_gt)])
+                for _ in range(batch_size)
+            ])
+        ),
+        "gt_classes": jnp.asarray(
+            rng.randint(0, 7, (batch_size, num_gt)), jnp.int32
+        ),
+        "gt_valid": jnp.ones((batch_size, num_gt), bool),
+    }
+    step = make_train_step(cfg, model, anchors, mesh=None)
+    compiled, info = guarded_compile(
+        step, (state, batch), name="train", log=log,
+    )
+    if compiled is None:
+        return None
+    out = None
+    for _ in range(WARMUP_ITERS):
+        out = compiled(state, batch)
+        state = out[0]
+    _ = np.asarray(out[1]["total_loss"])
+    t0 = time.time()
+    for _ in range(MEASURE_ITERS):
+        out = compiled(state, batch)
+        state = out[0]
+    _ = np.asarray(out[1]["total_loss"])
+    img_per_s = batch_size * MEASURE_ITERS / (time.time() - t0)
+    log(f"[train] {MEASURE_ITERS} iters x batch {batch_size} -> "
+        f"{img_per_s:.2f} img/s/chip")
+    return img_per_s
+
+
 def main():
     import jax
 
@@ -166,6 +225,7 @@ def main():
 
     analytic = measure("analytic", BATCH_SIZE, params)
     mc_iid = measure("mc_iid", MC_IID_BATCH, params)
+    train = measure_train(TRAIN_BATCH)
 
     from pod_compare_tpu.utils.compilation_cache import get_cache_stats
 
@@ -178,7 +238,9 @@ def main():
         f"SUMMARY BayesOD+MC-dropout img/s/chip: "
         f"analytic(batch {BATCH_SIZE})={analytic and round(analytic, 2)} "
         f"mc_iid/reference-exact(batch {MC_IID_BATCH})="
-        f"{mc_iid and round(mc_iid, 2)}"
+        f"{mc_iid and round(mc_iid, 2)}; "
+        f"training reference-exact iid (batch {TRAIN_BATCH})="
+        f"{train and round(train, 2)} img/s/chip"
     )
 
     print(
@@ -196,6 +258,8 @@ def main():
                 "mc_iid_img_per_s": mc_iid and round(mc_iid, 3),
                 "mc_iid_batch": MC_IID_BATCH,
                 "batch": BATCH_SIZE,
+                "train_img_per_s": train and round(train, 3),
+                "train_batch": TRAIN_BATCH,
             }
         )
     )

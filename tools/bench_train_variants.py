@@ -132,6 +132,15 @@ VARIANTS = {
                              dropout_rate=0.2, focal_impl="pallas"),
     "pallas_drop": dict(batch=16, cls_var_loss="loss_attenuation",
                         dropout_rate=0.2, dropout_impl="pallas"),
+    # Batch probes toward the HBM budget (the guard compile-checks peak
+    # HBM before anything executes, so an oversized probe costs one
+    # compile, never a worker-crashing runtime OOM):
+    "b28": dict(batch=28, cls_var_loss="loss_attenuation", dropout_rate=0.2),
+    "b32": dict(batch=32, cls_var_loss="loss_attenuation", dropout_rate=0.2),
+    "shared_b32": dict(batch=32, cls_var_loss="loss_attenuation",
+                       dropout_rate=0.2, shared_focal=True, shared_masks=True),
+    "shared_b40": dict(batch=40, cls_var_loss="loss_attenuation",
+                       dropout_rate=0.2, shared_focal=True, shared_masks=True),
 }
 
 
