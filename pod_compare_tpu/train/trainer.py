@@ -320,6 +320,14 @@ class Trainer:
         cfg = self.cfg.clone().defrost()
         cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
         test_dataset = test_dataset or cfg.DATASETS.TEST[0]
+        if (
+            self._eval_cache is not None
+            and self._eval_cache[:2] != (test_dataset, batch_size)
+        ):
+            # A different dataset/batch mid-run (e.g. eval on a second val
+            # split) is a legitimate call pattern: drop the cached pipeline
+            # and rebuild for the new shapes.
+            self._eval_cache = None
         if self._eval_cache is None:
             from pod_compare_tpu.data.loader import TestLoader
             from pod_compare_tpu.inference.predictor import build_predictor
@@ -345,12 +353,7 @@ class Trainer:
                 mesh=self.mesh if self.mesh.devices.size > 1 else None,
             )
             self._eval_cache = (test_dataset, batch_size, loader, predictor)
-        cached_dataset, cached_bs, loader, predictor = self._eval_cache
-        assert (cached_dataset, cached_bs) == (test_dataset, batch_size), (
-            "Trainer.test() caches one eval pipeline; got a different "
-            f"dataset/batch ({test_dataset}, {batch_size}) vs "
-            f"({cached_dataset}, {cached_bs})"
-        )
+        _, _, loader, predictor = self._eval_cache
         predictor.params = self.state.params  # jit is shape-keyed: no re-trace
         summary = run_inference(
             cfg,

@@ -412,3 +412,18 @@ def test_trainer_eval_cache_reused(tiny_trainer):
     # the cached predictor must see the trainer's current params object
     assert trainer._eval_cache[-1].params is trainer.state.params
     assert "mAP" in s1 and "mAP" in s2
+
+
+def test_trainer_eval_cache_rebuilds_on_changed_batch(tiny_trainer):
+    """A different dataset/batch mid-run (eval on a second split) must
+    rebuild the cached eval pipeline, not assert (VERDICT r3 weak #7)."""
+    cfg, trainer = tiny_trainer
+    name = cfg.DATASETS.TRAIN[0]
+    trainer._eval_cache = None  # module-scoped fixture may be warm
+    s1 = trainer.test(test_dataset=name, batch_size=2)
+    cache = trainer._eval_cache
+    s2 = trainer.test(test_dataset=name, batch_size=4)
+    assert trainer._eval_cache is not cache
+    assert trainer._eval_cache[:2] == (name, 4)
+    assert "mAP" in s1 and "mAP" in s2
+    trainer._eval_cache = None
