@@ -227,13 +227,21 @@ def main():
     mc_iid = measure("mc_iid", MC_IID_BATCH, params)
     train = measure_train(TRAIN_BATCH)
 
-    from pod_compare_tpu.utils.compilation_cache import get_cache_stats
+    from pod_compare_tpu.utils.compilation_cache import (
+        get_cache_stats, get_read_fallbacks, sync_warm_cache,
+    )
 
+    # Persist the just-compiled large executables into the repo-resident
+    # warm cache so the next container (the round boundary wipes ~/.cache
+    # — the round-3 0-for-286 cold start) still warm-starts.
+    synced = sync_warm_cache(log=log)
     hits, misses = get_cache_stats()
-    log(f"persistent-cache events: {hits} hits / {misses} misses "
-        "(large-executable loads through the remote runtime can fail "
-        "intermittently and fall back to a full compile — see "
-        "utils/compilation_cache.py)")
+    fallbacks = get_read_fallbacks()
+    log(f"persistent-cache events: {hits} hits / {misses} misses; "
+        f"{len(fallbacks)} read-fallbacks; {synced} entries synced to "
+        "repo warm_cache (see utils/compilation_cache.py)")
+    for mod, err in fallbacks:
+        log(f"  cache read fell back for {mod}: {err}")
     log(
         f"SUMMARY BayesOD+MC-dropout img/s/chip: "
         f"analytic(batch {BATCH_SIZE})={analytic and round(analytic, 2)} "

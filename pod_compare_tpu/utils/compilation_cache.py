@@ -1,4 +1,4 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache with a repo-resident warm seed.
 
 The reference has no analog (PyTorch eager pays no compile cost); under
 JAX every CLI/bench invocation re-traces and re-compiles its pipelines
@@ -6,15 +6,50 @@ JAX every CLI/bench invocation re-traces and re-compiles its pipelines
 Enabling `jax_compilation_cache_dir` persists compiled executables keyed
 by (HLO, compile options, backend version), so the second invocation of
 any entry point warms up in seconds.
+
+Round-3 postmortem (BENCH_r03 tail: 0 hits / 286 misses): the cache keys
+ARE stable — re-compiling the identical bench pipeline in a fresh process
+hits the entry a prior process wrote (measured 2026-08-18: XLA compile
+2.3 s on a hit vs ~40-50 s cold) — but the cache lived in ``~/.cache``,
+which is wiped whenever the round driver rebuilds the container, so the
+driver's end-of-round bench always started cold. Two fixes here:
+
+* **Warm seed in the repo** (`<repo>/warm_cache/`): the repo directory is
+  the one path that persists across container rebuilds. On
+  `enable_persistent_cache()` any seed entries are hard-linked/copied
+  into the live cache dir; `sync_warm_cache()` (called by bench.py after
+  its legs) copies large freshly-compiled executables back into the seed
+  dir so the next cold container still warm-starts. If the rebuilt
+  container ships a different jaxlib/libtpu the keys simply miss and the
+  normal cold compile runs — the seed can never make things worse.
+* **Read retry**: loading a large (~26-56 MB) serialized executable
+  through the remote TPU runtime can fail transiently; stock JAX falls
+  straight back to a full compile (`jax._src.compiler._cache_read`
+  swallows the exception). `enable_persistent_cache()` wraps the read
+  path with a short exponential-backoff retry and records which modules
+  still fell back (`get_cache_stats()`).
 """
 
 import logging
 import os
+import shutil
+import time
+import warnings
+
+_DEFAULT_SEED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "warm_cache",
+)
 
 _DEFAULT_CACHE_DIR = os.environ.get(
     "POD_COMPARE_COMPILATION_CACHE",
     os.path.expanduser("~/.cache/pod_compare_tpu/jax_cache"),
 )
+
+# Only executables at least this large are synced into the repo seed dir:
+# the big inference/train programs are the ones worth shipping; the
+# hundreds of tiny single-op entries recompile in <1 s each.
+SEED_MIN_BYTES = int(os.environ.get("POD_COMPARE_WARM_CACHE_MIN_BYTES", 1_000_000))
 
 
 class _CacheEventCounter(logging.Handler):
@@ -22,11 +57,8 @@ class _CacheEventCounter(logging.Handler):
 
     Measured on the v5e tunnel (2026-08-17): keys ARE stable across
     processes and sessions (the b16 train step hit an entry written 100
-    min earlier by a different session, 398 s compile -> 61.8 s warm),
-    but loading a large (~42 MB) serialized executable through the remote
-    runtime is slow and INTERMITTENTLY fails, silently falling back to a
-    full compile with no new write (the key already exists). These
-    counters make that visible: `get_cache_stats()` after warmup.
+    min earlier by a different session, 398 s compile -> 61.8 s warm).
+    These counters make cache behavior visible: `get_cache_stats()`.
     """
 
     def __init__(self):
@@ -43,6 +75,7 @@ class _CacheEventCounter(logging.Handler):
 
 
 _COUNTER = None
+_READ_FALLBACKS = []  # (module_name, error repr) after retries exhausted
 
 
 def get_cache_stats():
@@ -50,6 +83,103 @@ def get_cache_stats():
     if _COUNTER is None:
         return (0, 0)
     return (_COUNTER.hits, _COUNTER.misses)
+
+
+def get_read_fallbacks():
+    """Entries whose cached executable failed to load even after retries
+    (each fell back to a full compile): list of (module_name, error)."""
+    return list(_READ_FALLBACKS)
+
+
+def _install_read_retry(attempts: int = 3, base_delay_s: float = 2.0):
+    """Wrap jax's persistent-cache read with exponential-backoff retries.
+
+    Stock JAX treats ANY exception during the read as a miss and silently
+    recompiles (jax._src.compiler._cache_read). On this platform the
+    failure mode is a transient remote-runtime hiccup while deserializing
+    a large executable, so a couple of retries are far cheaper than the
+    ~40-50 s recompile they avoid.
+    """
+    from jax._src import compiler as _compiler
+    from jax._src import compilation_cache as _cc
+    from jax._src import config as _config
+
+    if getattr(_compiler._cache_read, "_pod_compare_retry", False):
+        return
+
+    def _cache_read_with_retry(
+        module_name, cache_key, compile_options, backend, executable_devices
+    ):
+        last_exc = None
+        for attempt in range(attempts):
+            try:
+                # Returns (None, None) on a genuine miss — no retry then.
+                return _cc.get_executable_and_time(
+                    cache_key, compile_options, backend, executable_devices
+                )
+            except Exception as ex:  # transient read/deserialize failure
+                last_exc = ex
+                if attempt + 1 < attempts:
+                    time.sleep(base_delay_s * (2 ** attempt))
+        if _config.raise_persistent_cache_errors.value:
+            raise last_exc
+        _READ_FALLBACKS.append((module_name, f"{type(last_exc).__name__}: {last_exc}"))
+        warnings.warn(
+            f"Error reading persistent compilation cache entry for "
+            f"'{module_name}' ({attempts} attempts): "
+            f"{type(last_exc).__name__}: {last_exc}"
+        )
+        return None, None
+
+    _cache_read_with_retry._pod_compare_retry = True
+    _compiler._cache_read = _cache_read_with_retry
+
+
+def _copy_if_absent(src_dir: str, dst_dir: str, min_bytes: int = 0) -> int:
+    """Copy cache entries >= min_bytes from src to dst when absent there.
+
+    Hard-links when possible (same filesystem) to avoid duplicating tens
+    of MB; entries are content-addressed by name so same-name == same
+    content and existing files are never touched.
+    """
+    copied = 0
+    if not os.path.isdir(src_dir):
+        return 0
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        src = os.path.join(src_dir, name)
+        dst = os.path.join(dst_dir, name)
+        if not os.path.isfile(src) or os.path.exists(dst):
+            continue
+        if os.path.getsize(src) < min_bytes:
+            continue
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+        copied += 1
+    return copied
+
+
+def seed_dir() -> str:
+    """Repo-resident warm-seed directory (override: POD_COMPARE_WARM_CACHE)."""
+    return os.environ.get("POD_COMPARE_WARM_CACHE", _DEFAULT_SEED_DIR)
+
+
+def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None) -> int:
+    """Copy large live-cache executables into the repo warm-seed dir.
+
+    Called by bench.py after its legs so the expensive TPU programs it
+    just compiled survive the next container rebuild. Returns the number
+    of entries newly copied.
+    """
+    cache = _DEFAULT_CACHE_DIR
+    if not cache:
+        return 0
+    n = _copy_if_absent(cache, seed_dir(), min_bytes=min_bytes)
+    if log is not None and n:
+        log(f"warm_cache: synced {n} new large executables into {seed_dir()}")
+    return n
 
 
 def enable_persistent_cache(cache_dir: str = None) -> str:
@@ -66,12 +196,21 @@ def enable_persistent_cache(cache_dir: str = None) -> str:
     import jax
 
     os.makedirs(cache_dir, exist_ok=True)
+    # Seed from the repo-resident warm cache (survives container
+    # rebuilds; see module docstring). Entries are content-addressed so
+    # stale seeds are harmless — wrong-version keys simply never match.
+    seeded = _copy_if_absent(seed_dir(), cache_dir)
+    if seeded:
+        logging.getLogger(__name__).info(
+            "seeded %d warm-cache entries from %s", seeded, seed_dir()
+        )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything: the default thresholds skip small/fast programs,
     # but the per-image vmapped pipelines are exactly the ones re-hit by
     # every CLI run.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _install_read_retry()
     if _COUNTER is None:
         _COUNTER = _CacheEventCounter()
         # The hit/miss lines are DEBUG-level in jax._src.compiler; route
