@@ -159,7 +159,9 @@ def run_inference(
         for b in range(batch["images"].shape[0]):
             if not batch["batch_valid"][b]:
                 continue
-            per_image = Detections(*[f[b] for f in dets_np])
+            per_image = Detections(
+                *[None if f is None else f[b] for f in dets_np]
+            )
             results.extend(
                 detections_to_json(
                     per_image, int(batch["image_ids"][b]), cat_mapping

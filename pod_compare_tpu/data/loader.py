@@ -265,12 +265,28 @@ class TrainLoader:
         self.prefetch = prefetch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_iter: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate the infinite stream starting at batch `start_iter`.
+
+        Resume fast-forwards deterministically by REPLAYING the RNG draws
+        (one permutation per epoch + one flip/scale vector per batch) for
+        the skipped batches without decoding any image, so a run resumed
+        from a checkpoint at step k consumes bit-identical batches to an
+        uninterrupted run — a reproducibility property detectron2's
+        restarted dataloader does not have (its resumed sampler replays
+        the seed but the reference never fast-forwards augmentations)."""
         def gen():
             rng = np.random.RandomState(self.seed)
+            skip = int(start_iter)
             while True:
                 order = rng.permutation(len(self.records))
                 for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
                     flips = rng.rand(self.batch_size)
+                    if skip > 0:
+                        skip -= 1
+                        continue
                     items = self._pool.map(
                         _prepare_star,
                         [

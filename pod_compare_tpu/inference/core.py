@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pod_compare_tpu.ops.boxes import decode_deltas, decoded_box_moments
+from pod_compare_tpu.ops.boxes import (
+    decode_deltas,
+    decoded_box_mean,
+    decoded_box_moments,
+)
 from pod_compare_tpu.ops.gaussian import (
     covariance_output_to_cholesky,
     sample_mean_covariance,
@@ -42,6 +46,10 @@ class Detections(NamedTuple):
     classes: jnp.ndarray
     prob_vectors: jnp.ndarray
     valid: jnp.ndarray
+    # Source-anchor index per detection (None outside NMS-first paths):
+    # carried so `deferred_covariance` can rebuild the analytic box
+    # covariance for the NMS survivors only.
+    anchor_idx: jnp.ndarray = None
 
     def gather(self, idx: jnp.ndarray, idx_valid: jnp.ndarray) -> "Detections":
         """Reindex all fields by `idx`, intersecting validity."""
@@ -52,6 +60,9 @@ class Detections(NamedTuple):
             classes=self.classes[idx],
             prob_vectors=self.prob_vectors[idx],
             valid=self.valid[idx] & idx_valid,
+            anchor_idx=(
+                None if self.anchor_idx is None else self.anchor_idx[idx]
+            ),
         )
 
 
@@ -170,6 +181,7 @@ def probabilistic_inference_core(
     level_sizes: Optional[Sequence[int]] = None,
     cls_sampling: str = "mc_iid",
     box_sampling: str = "mc_iid",
+    defer_covariance: bool = False,
 ) -> Candidates:
     """Single-image anchor-wise probabilistic inference.
 
@@ -219,7 +231,24 @@ def probabilistic_inference_core(
         )(sel_run_deltas)
         _, epistemic_cov = sample_mean_covariance(run_boxes)
 
-    if box_reg_var is not None and box_sampling == "analytic":
+    if (
+        box_reg_var is not None
+        and box_sampling == "analytic"
+        and defer_covariance
+        and epistemic_cov is None
+    ):
+        # NMS-first modes discard all but max_dets of the C candidates, and
+        # NMS reads only means/scores — so compute the analytic decode MEAN
+        # (needs only the delta-covariance diagonal, O(C*4)) here and let
+        # the caller rebuild full covariances for the survivors via
+        # `deferred_covariance` (measured: the O(C*16) covariance algebra
+        # was 75 ms of the 162 ms per-unit core at 160 units/BDD geometry).
+        chol = covariance_output_to_cholesky(box_reg_var[top_idx])
+        diag = jnp.einsum("cij,cij->ci", chol, chol, precision="highest")
+        boxes = decoded_box_mean(sel_deltas, diag, sel_anchors, box_reg_weights)
+        covs = jnp.zeros(boxes.shape[:-1] + (4, 4), boxes.dtype)
+        has_cov = False
+    elif box_reg_var is not None and box_sampling == "analytic":
         chol = covariance_output_to_cholesky(box_reg_var[top_idx])  # (C,4,4)
         delta_cov = jnp.einsum(
             "cij,ckj->cik", chol, chol, precision="highest"
@@ -309,3 +338,27 @@ def probabilistic_inference_core(
         valid=valid,
         anchor_idx=top_idx.astype(jnp.int32),
     )
+
+
+def deferred_covariance(
+    dets: Detections,
+    box_delta: jnp.ndarray,
+    box_reg_var: jnp.ndarray,
+    anchors: jnp.ndarray,
+    box_reg_weights=(1.0, 1.0, 1.0, 1.0),
+) -> Detections:
+    """Fill analytic box covariances for NMS survivors only.
+
+    Companion to `probabilistic_inference_core(defer_covariance=True)`:
+    rebuilds the exact `decoded_box_moments` covariance from the raw head
+    outputs at the detections' source anchors (bit-identical inputs —
+    elementwise math on gathered rows gives the same values the full-set
+    path would have gathered).
+    """
+    a_idx = dets.anchor_idx
+    chol = covariance_output_to_cholesky(box_reg_var[a_idx])
+    delta_cov = jnp.einsum("cij,ckj->cik", chol, chol, precision="highest")
+    _, covs = decoded_box_moments(
+        box_delta[a_idx], delta_cov, anchors[a_idx], box_reg_weights
+    )
+    return dets._replace(covs=covs)

@@ -51,6 +51,7 @@ def _as_detections(c: Candidates) -> Detections:
         classes=c.classes,
         prob_vectors=c.prob_vectors,
         valid=c.valid,
+        anchor_idx=c.anchor_idx,
     )
 
 

@@ -24,6 +24,7 @@ import numpy as np
 from pod_compare_tpu.inference import modes as M
 from pod_compare_tpu.inference.core import (
     Detections,
+    deferred_covariance,
     probabilistic_inference_core,
 )
 from pod_compare_tpu.inference.postprocess import detector_postprocess
@@ -243,12 +244,28 @@ class ProbabilisticPredictor:
                         run_deltas,
                     )
                 else:
+                    # Single-model standard NMS: only max_dets of the ~4.5k
+                    # candidates survive and NMS reads means/scores only, so
+                    # the analytic covariance algebra runs post-NMS on the
+                    # survivors (bit-identical results; see
+                    # core.deferred_covariance).
+                    defer = (
+                        self.mode == "standard_nms"
+                        and core_kwargs["box_sampling"] == "analytic"
+                    )
+
                     def per_image(key, cls_i, delta_i, cvar_i, rvar_i):
                         cands = probabilistic_inference_core(
                             key, anchors, cls_i, delta_i, cvar_i, rvar_i,
-                            None, **core_kwargs,
+                            None, defer_covariance=defer, **core_kwargs,
                         )
-                        return mode_fn(cands)
+                        dets = mode_fn(cands)
+                        if defer and rvar_i is not None:
+                            dets = deferred_covariance(
+                                dets, delta_i, rvar_i, anchors,
+                                core_kwargs["box_reg_weights"],
+                            )
+                        return dets
 
                     dets = jax.vmap(per_image, in_axes=(0, 0, 0, _ax(outs["box_cls_var"]), _ax(outs["box_reg_var"])))(
                         img_keys,
@@ -270,26 +287,52 @@ class ProbabilisticPredictor:
                 num_runs = outs["box_cls"].shape[0]
                 batch_size = outs["box_cls"].shape[1]
 
+                # Unit order: run-major (M*B, b minor) on a single chip —
+                # a FREE reshape of the (M, B, ...) head outputs, where
+                # the image-major order would TRANSPOSE ~2.5 GB of head
+                # outputs per batch (box_cls alone is 790 MB at b16/10
+                # runs); the member order is restored AFTER per-unit NMS
+                # on (max_dets, ·) slices — a few MB. Under a data-
+                # sharded mesh, keep image-major (b major) so the unit
+                # axis inherits the batch sharding without resharding.
+                run_major = self.mesh is None
+
                 def to_units(x):
-                    # (M, B, ...) -> (B*M, ...), image-major so each
-                    # image's runs stay contiguous and run-ordered.
                     if x is None:
                         return None
-                    x = jnp.swapaxes(x, 0, 1)
+                    if not run_major:
+                        x = jnp.swapaxes(x, 0, 1)
                     return x.reshape((batch_size * num_runs,) + x.shape[2:])
 
-                unit_keys = jax.vmap(
+                # Key for unit u must be (image b, run m) with u = m*B + b
+                # (run-major) or b*M + m (image-major): build (B, M) keys
+                # and reorder the KEYS (tiny) to match.
+                keys_bm = jax.vmap(
                     lambda k: jax.random.split(k, num_runs)
-                )(img_keys).reshape(
+                )(img_keys)
+                if run_major:
+                    keys_bm = jnp.swapaxes(keys_bm, 0, 1)
+                unit_keys = keys_bm.reshape(
                     (batch_size * num_runs,) + img_keys.shape[1:]
                 )
+
+                # Per-unit NMS keeps max_dets of ~4.5k candidates: defer
+                # the analytic covariance algebra to the survivors (75 ->
+                # ~2 ms of the per-unit core at 160 units, DESIGN.md §5d).
+                defer_units = core_kwargs["box_sampling"] == "analytic"
 
                 def per_unit(k, cls_i, delta_i, cvar_i, rvar_i):
                     cands = probabilistic_inference_core(
                         k, anchors, cls_i, delta_i, cvar_i, rvar_i,
-                        None, **core_kwargs,
+                        None, defer_covariance=defer_units, **core_kwargs,
                     )
-                    return M.standard_nms(cands, nms_thresh, max_dets)
+                    dets = M.standard_nms(cands, nms_thresh, max_dets)
+                    if defer_units and rvar_i is not None:
+                        dets = deferred_covariance(
+                            dets, delta_i, rvar_i, anchors,
+                            core_kwargs["box_reg_weights"],
+                        )
+                    return dets
 
                 units = jax.vmap(
                     per_unit,
@@ -301,14 +344,25 @@ class ProbabilisticPredictor:
                     to_units(outs["box_cls_var"]),
                     to_units(outs["box_reg_var"]),
                 )
-                # (B*M, D, ...) -> (B, M*D, ...): run-major member order
-                # per image, matching the reference's concatenation.
-                per_image_members = jax.tree_util.tree_map(
-                    lambda x: x.reshape(
-                        (batch_size, num_runs * x.shape[1]) + x.shape[2:]
-                    ),
-                    units,
-                )
+                # -> (B, M*D, ...): each image's members run-major,
+                # matching the reference's concatenation order. In the
+                # run-major unit layout this transposes only the small
+                # post-NMS (max_dets, ·) slices.
+                def regroup(x):
+                    if run_major:
+                        x = jnp.swapaxes(
+                            x.reshape((num_runs, batch_size) + x.shape[1:]),
+                            0, 1,
+                        )
+                    else:
+                        x = x.reshape(
+                            (batch_size, num_runs) + x.shape[1:]
+                        )
+                    return x.reshape(
+                        (batch_size, num_runs * x.shape[2]) + x.shape[3:]
+                    )
+
+                per_image_members = jax.tree_util.tree_map(regroup, units)
                 dets = jax.vmap(
                     lambda d: M.black_box_merge(d, nms_thresh, max_dets, affinity)
                 )(per_image_members)

@@ -27,6 +27,11 @@ import jax.numpy as jnp
 # detectron2's `_DEFAULT_SCALE_CLAMP` used by the reference transform).
 SCALE_CLAMP = math.log(1000.0 / 16)
 
+# Saturation cap (in scaled log-size variance) for the analytic decode
+# moments — see decoded_box_moments; shared with the mean-only fast path
+# so both produce bit-identical means.
+_MOMENT_VAR_CLAMP = 2.0
+
 
 def area(boxes: jnp.ndarray) -> jnp.ndarray:
     """Box areas; negative extents clip to zero."""
@@ -181,11 +186,10 @@ def decoded_box_moments(
     # scale the whole w (resp. h) row/column of s by sqrt(cap/s_ww) so
     # |s_iw| <= sqrt(s_ii * s_ww) keeps holding. Inactive for trained
     # heads (sigma ~ 0.01-0.3 << cap).
-    _VAR_CLAMP = 2.0
     mw = jnp.minimum(mw, SCALE_CLAMP)
     mh = jnp.minimum(mh, SCALE_CLAMP)
-    fw = jnp.sqrt(_VAR_CLAMP / jnp.maximum(sww, _VAR_CLAMP))
-    fh = jnp.sqrt(_VAR_CLAMP / jnp.maximum(shh, _VAR_CLAMP))
+    fw = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(sww, _MOMENT_VAR_CLAMP))
+    fh = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(shh, _MOMENT_VAR_CLAMP))
     sww = sww * fw * fw
     shh = shh * fh * fh
     swh = swh * fw * fh
@@ -233,6 +237,57 @@ def decoded_box_moments(
         "ij,...jk,lk->...il", a_mat, t_cov, a_mat, precision="highest"
     )
     return mean_boxes, box_covs
+
+
+def decoded_box_mean(
+    deltas: jnp.ndarray,
+    diag_cov: jnp.ndarray,
+    anchors: jnp.ndarray,
+    weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Mean of `decoded_box_moments` WITHOUT the covariance.
+
+    The analytic decode mean depends only on the delta-covariance DIAGONAL
+    (the lognormal shift exp(Σww/2)), so NMS-first pipelines compute means
+    for every candidate at O(C·4) and defer the O(C·16) covariance
+    algebra to the ≤max_dets survivors (inference/core.py
+    `defer_covariance`). Same clamp expressions as the moments path so
+    means stay bit-identical.
+
+    Args:
+        deltas: (..., 4) mean deltas μ (raw head output scale).
+        diag_cov: (..., 4) diagonal of the delta covariance Σ.
+        anchors: (..., 4) XYXY anchors.
+    Returns:
+        mean boxes (..., 4) XYXY.
+    """
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + 0.5 * aw
+    ay = anchors[..., 1] + 0.5 * ah
+
+    w = jnp.asarray(weights, deltas.dtype)
+    m = deltas / w
+    d = diag_cov / (w * w)
+    mx, my, mw, mh = (m[..., i] for i in range(4))
+    sww, shh = d[..., 2], d[..., 3]
+
+    mw = jnp.minimum(mw, SCALE_CLAMP)
+    mh = jnp.minimum(mh, SCALE_CLAMP)
+    fw = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(sww, _MOMENT_VAR_CLAMP))
+    fh = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(shh, _MOMENT_VAR_CLAMP))
+    sww = sww * fw * fw
+    shh = shh * fh * fh
+
+    ew = jnp.exp(mw + 0.5 * sww)
+    eh = jnp.exp(mh + 0.5 * shh)
+    px = ax + aw * mx
+    py = ay + ah * my
+    pw = aw * ew
+    ph = ah * eh
+    return jnp.stack(
+        [px - 0.5 * pw, py - 0.5 * ph, px + 0.5 * pw, py + 0.5 * ph], -1
+    )
 
 
 def decode_delta_samples(

@@ -276,7 +276,12 @@ class Trainer:
         cfg = self.cfg
         max_iter = max_iter if max_iter is not None else cfg.SOLVER.MAX_ITER
         start = int(self.state.step)
-        data_iter = iter(self.loader)
+        # Resume consumes the SAME batch sequence an uninterrupted run
+        # would: the loader replays its RNG draws up to `start` without
+        # decoding (TrainLoader.iter_from), making checkpoint-resume
+        # bitwise-reproducible (verified by the dryrun gate and
+        # tests/test_train.py::test_resume_reproduces_uninterrupted_run).
+        data_iter = self.loader.iter_from(start)
         self.logger.info(f"Starting training from iteration {start}")
         profile_ctx = None
         t0 = time.time()
@@ -311,12 +316,17 @@ class Trainer:
         self.checkpointer.wait()
         self.logger.info("Training done.")
 
-    def test(self, test_dataset: Optional[str] = None, batch_size: int = 8):
+    def test(self, test_dataset: Optional[str] = None,
+             batch_size: Optional[int] = None):
         """Evaluate the CURRENT params on the test dataset with standard
         NMS + COCO mAP (reference: Trainer.build_evaluator + Trainer.test,
-        train_net.py:20-32,73-75)."""
+        train_net.py:20-32,73-75). `batch_size=None` follows
+        SOLVER.IMS_PER_BATCH so the in-train eval hook's batch is always
+        divisible by the training mesh."""
         from pod_compare_tpu.cli.apply_net import run_inference
 
+        if batch_size is None:
+            batch_size = self.cfg.SOLVER.IMS_PER_BATCH
         cfg = self.cfg.clone().defrost()
         cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
         test_dataset = test_dataset or cfg.DATASETS.TEST[0]

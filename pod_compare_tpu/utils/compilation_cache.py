@@ -18,10 +18,16 @@ driver's end-of-round bench always started cold. Two fixes here:
   the one path that persists across container rebuilds. On
   `enable_persistent_cache()` any seed entries are hard-linked/copied
   into the live cache dir; `sync_warm_cache()` (called by bench.py after
-  its legs) copies large freshly-compiled executables back into the seed
-  dir so the next cold container still warm-starts. If the rebuilt
-  container ships a different jaxlib/libtpu the keys simply miss and the
-  normal cold compile runs — the seed can never make things worse.
+  its legs) copies freshly-compiled executables back into the seed dir so
+  the next cold container still warm-starts. If the rebuilt container
+  ships a different jaxlib/libtpu the keys simply miss and the normal
+  cold compile runs — the seed can never make things worse. Round-4
+  finding (2026-08-19): an environment rebuild DID rotate every key (the
+  round-3 seeds all missed), and the dominant cold cost is the long tail
+  of ~283 small jit programs (~9 min at ~2 s each through the tunnel),
+  not the three big pipelines — so the seed now ships every entry
+  (SEED_MIN_BYTES=0), including the CPU-platform entries the test suite
+  compiles (the suite shares this cache via tests/conftest.py).
 * **Read retry**: loading a large (~26-56 MB) serialized executable
   through the remote TPU runtime can fail transiently; stock JAX falls
   straight back to a full compile (`jax._src.compiler._cache_read`
@@ -46,10 +52,13 @@ _DEFAULT_CACHE_DIR = os.environ.get(
     os.path.expanduser("~/.cache/pod_compare_tpu/jax_cache"),
 )
 
-# Only executables at least this large are synced into the repo seed dir:
-# the big inference/train programs are the ones worth shipping; the
-# hundreds of tiny single-op entries recompile in <1 s each.
-SEED_MIN_BYTES = int(os.environ.get("POD_COMPARE_WARM_CACHE_MIN_BYTES", 1_000_000))
+# Sync EVERYTHING into the repo seed dir. Round-4 measurement
+# (2026-08-19, fresh container): the three big pipeline executables are
+# NOT the cold-start cost — the ~283 small jit programs (model init,
+# RNG draws, einsums) are, at ~2 s each through the remote tunnel
+# (~9 min of an 18-min cold bench, vs ~4 min for the three big
+# compiles). They total ~23 MB, so shipping all of them is cheap.
+SEED_MIN_BYTES = int(os.environ.get("POD_COMPARE_WARM_CACHE_MIN_BYTES", 0))
 
 
 class _CacheEventCounter(logging.Handler):

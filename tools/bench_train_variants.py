@@ -36,7 +36,7 @@ def log(m):
 
 def run_variant(name, batch, cls_var_loss, dropout_rate,
                 shared_focal=False, shared_masks=False,
-                dropout_impl="auto", focal_impl="threefry"):
+                dropout_impl="auto", focal_impl="threefry", remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +57,7 @@ def run_variant(name, batch, cls_var_loss, dropout_rate,
     cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_SHARED_BATCH_TRAIN = shared_masks
     cfg.MODEL.PROBABILISTIC_MODELING.DROPOUT_IMPL = dropout_impl
     cfg.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.IMPL = focal_impl
+    cfg.PARALLEL.REMAT = remat
 
     from pod_compare_tpu.utils.hbm_guard import guarded_compile, synthetic_box
 
@@ -141,6 +142,19 @@ VARIANTS = {
                        dropout_rate=0.2, shared_focal=True, shared_masks=True),
     "shared_b40": dict(batch=40, cls_var_loss="loss_attenuation",
                        dropout_rate=0.2, shared_focal=True, shared_masks=True),
+    # Remat (jax.checkpoint on the forward) x reference-exact iid banks:
+    # iid b28/b32 compile at 14.5 GB > the 13.5 GB worker-safety budget
+    # without remat (VERDICT r3 weak #5) — can recompute-not-store fit
+    # the larger reference-exact batches, and at what step-time cost?
+    "remat_b24": dict(batch=24, cls_var_loss="loss_attenuation",
+                      dropout_rate=0.2, remat=True),
+    "remat_b28": dict(batch=28, cls_var_loss="loss_attenuation",
+                      dropout_rate=0.2, remat=True),
+    "remat_b32": dict(batch=32, cls_var_loss="loss_attenuation",
+                      dropout_rate=0.2, remat=True),
+    "remat_shared_b40": dict(batch=40, cls_var_loss="loss_attenuation",
+                             dropout_rate=0.2, shared_focal=True,
+                             shared_masks=True, remat=True),
 }
 
 
