@@ -44,10 +44,14 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # b36=13.50, b40=15.46 GB -> b48 extrapolates to ~18.4 GB, past the
 # chip's ~16 GB, which quantifies the crash; b32 is the practical max.
 # The reference-exact mc_iid leg is pinned to 16: larger batches
-# compile clean (compile-time peak HBM b24=9.08, b32=11.94 GB — under
-# the 13.5 GB budget) but a b24->b32 measurement sweep crashed the v5e
-# worker anyway (2026-08-18), so compile-time analysis does NOT bound
-# this pipeline's runtime footprint; 16 is the proven-safe batch.
+# compile clean (compile-time peak HBM b20=8.08, b24=9.08, b32=11.94 GB
+# — all under the 13.5 GB budget) but crash the v5e worker at runtime.
+# Round-4 isolation probe (tools/probe_mc_iid_runtime.py, 2026-08-19):
+# b20 ALONE in a fresh process crashes on its FIRST invocation at an
+# 8.08 GB compile-time peak — so the failure is a runtime/codegen fault
+# crossing in b17-b20, not an HBM-accounting gap, and no compile-time
+# check can catch it. 16 is the largest empirically validated batch
+# (utils/hbm_guard.py::MC_IID_PROVEN_SAFE_BATCH).
 MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "16"))
 # Training leg (reference-exact iid banks): batch 16 measured 8.07 GB
 # peak / 83.5 img/s (DESIGN.md §5b); proven safe on the v5e worker.

@@ -113,9 +113,26 @@ def run_inference(
     if auto_batch:
         import jax.numpy as jnp
 
-        from pod_compare_tpu.utils.hbm_guard import pick_max_batch
+        from pod_compare_tpu.utils.hbm_guard import (
+            pick_max_batch,
+            runtime_safe_batch_cap,
+        )
 
         key = jax.random.PRNGKey(0)
+        # mc_iid pipelines fault the v5e worker at batches whose
+        # compile-time peak is WELL under budget (hbm_guard.py:
+        # MC_IID_PROVEN_SAFE_BATCH) — cap the candidates at the largest
+        # empirically validated batch for that family.
+        cap = runtime_safe_batch_cap(cfg)
+        batch_candidates = (32, 24, 16, 8, 4, 2, 1)
+        if cap is not None:
+            batch_candidates = tuple(
+                b for b in batch_candidates if b <= cap
+            )
+            logger.info(
+                f"auto batch: mc_iid sampling caps candidates at {cap} "
+                "(runtime-fault boundary, utils/hbm_guard.py)"
+            )
 
         def make_args(b):
             sizes = jax.ShapeDtypeStruct((b, 2), jnp.float32)
@@ -128,7 +145,7 @@ def run_inference(
             )
 
         chosen, _, _ = pick_max_batch(
-            predictor._fn, make_args, (32, 24, 16, 8, 4, 2, 1),
+            predictor._fn, make_args, batch_candidates,
             name=f"{inference_name}_auto",
             log=lambda m: logger.info(m),
         )

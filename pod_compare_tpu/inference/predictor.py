@@ -252,6 +252,7 @@ class ProbabilisticPredictor:
                     defer = (
                         self.mode == "standard_nms"
                         and core_kwargs["box_sampling"] == "analytic"
+                        and not _defer_cov_disabled()
                     )
 
                     def per_image(key, cls_i, delta_i, cvar_i, rvar_i):
@@ -319,7 +320,10 @@ class ProbabilisticPredictor:
                 # Per-unit NMS keeps max_dets of ~4.5k candidates: defer
                 # the analytic covariance algebra to the survivors (75 ->
                 # ~2 ms of the per-unit core at 160 units, DESIGN.md §5d).
-                defer_units = core_kwargs["box_sampling"] == "analytic"
+                defer_units = (
+                    core_kwargs["box_sampling"] == "analytic"
+                    and not _defer_cov_disabled()
+                )
 
                 def per_unit(k, cls_i, delta_i, cvar_i, rvar_i):
                     cands = probabilistic_inference_core(
@@ -437,6 +441,15 @@ class ProbabilisticPredictor:
 def _ax(x) -> Optional[int]:
     """vmap in_axes helper: broadcast None fields."""
     return None if x is None else 0
+
+
+def _defer_cov_disabled() -> bool:
+    """Debug escape hatch for the defer-covariance fast path (DESIGN §5d):
+    set POD_COMPARE_DISABLE_DEFER_COV=1 to force the full-candidate-set
+    covariance computation (bit-identical outputs, slower)."""
+    import os
+
+    return os.environ.get("POD_COMPARE_DISABLE_DEFER_COV", "") not in ("", "0")
 
 
 def visualize_inference(

@@ -19,6 +19,29 @@ import numpy as np
 
 HBM_BUDGET_BYTES = 13.5e9
 
+# Runtime-fault boundary for the reference-exact mc_iid sampling
+# pipelines — a limit the COMPILE-TIME analysis provably cannot see
+# (round-4 probe, 2026-08-19): mc_iid BayesOD+MC at batch 20 compiles
+# clean at 8.08 GB peak (well under budget) in a fresh process with no
+# other programs resident, yet the v5e worker crashes on the FIRST
+# invocation (~50-min outage). Batch 16 (7.33 GB) has run hundreds of
+# iterations across rounds. The fault is therefore a runtime/codegen
+# issue crossing somewhere in b17-b20, not an HBM-accounting gap —
+# bisecting it costs one worker outage per probe, so the guard pins the
+# largest empirically validated batch instead of trusting the compile
+# bound for this pipeline family.
+MC_IID_PROVEN_SAFE_BATCH = 16
+
+
+def runtime_safe_batch_cap(cfg) -> Optional[int]:
+    """Empirical batch cap for pipelines where compile-time analysis is
+    proven insufficient; None when the compile-time guard alone is
+    trustworthy. Consulted by `--batch-size auto` (cli/apply_net.py)."""
+    pi = cfg.PROBABILISTIC_INFERENCE
+    if "mc_iid" in (pi.CLS_SAMPLING, pi.BOX_SAMPLING):
+        return MC_IID_PROVEN_SAFE_BATCH
+    return None
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)

@@ -44,14 +44,26 @@ def test_sync_warm_cache_round_trip(tmp_path, monkeypatch):
     _write(live / "jit_tiny-cafe-cache", 100)
     monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
     monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
-    assert cc.sync_warm_cache() == 1
-    assert os.listdir(seed) == ["jit_pipeline-deadbeef-cache"]
+    # Round-4 default: EVERYTHING syncs — the cold-start cost is the long
+    # tail of small jit programs, not the big pipelines (see module
+    # docstring); a min_bytes override still filters.
+    assert cc.sync_warm_cache() == 2
+    assert sorted(os.listdir(seed)) == [
+        "jit_pipeline-deadbeef-cache", "jit_tiny-cafe-cache",
+    ]
     # idempotent
     assert cc.sync_warm_cache() == 0
+    seed2 = tmp_path / "seed2"
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed2))
+    assert cc.sync_warm_cache(min_bytes=1_000_000) == 1
+    assert os.listdir(seed2) == ["jit_pipeline-deadbeef-cache"]
     # a fresh (post-rebuild) live cache re-seeds from the repo dir
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
     live2 = tmp_path / "live2"
-    assert cc._copy_if_absent(cc.seed_dir(), str(live2)) == 1
-    assert os.listdir(live2) == ["jit_pipeline-deadbeef-cache"]
+    assert cc._copy_if_absent(cc.seed_dir(), str(live2)) == 2
+    assert sorted(os.listdir(live2)) == [
+        "jit_pipeline-deadbeef-cache", "jit_tiny-cafe-cache",
+    ]
 
 
 def test_read_retry_retries_errors_not_misses(monkeypatch):

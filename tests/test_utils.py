@@ -54,3 +54,22 @@ def test_section_timer():
         pass
     rep = timer.report()
     assert "a:" in rep and "2 calls" in rep
+
+
+def test_runtime_safe_batch_cap_mc_iid():
+    """mc_iid pipelines get the empirical batch cap (a v5e runtime fault
+    at b>=20 that compile-time HBM analysis provably cannot see —
+    utils/hbm_guard.py); analytic pipelines trust the compile guard."""
+    from pod_compare_tpu.config import get_cfg
+    from pod_compare_tpu.utils.hbm_guard import (
+        MC_IID_PROVEN_SAFE_BATCH,
+        runtime_safe_batch_cap,
+    )
+
+    cfg = get_cfg()
+    assert runtime_safe_batch_cap(cfg) is None  # analytic default
+    cfg.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "mc_iid"
+    assert runtime_safe_batch_cap(cfg) == MC_IID_PROVEN_SAFE_BATCH
+    cfg.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "analytic"
+    cfg.PROBABILISTIC_INFERENCE.CLS_SAMPLING = "mc_iid"
+    assert runtime_safe_batch_cap(cfg) == MC_IID_PROVEN_SAFE_BATCH

@@ -33,7 +33,12 @@ import cv2
 import numpy as np
 
 NUM_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 192
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+# Default batch 16: every pipeline has run hundreds of iterations at 16
+# across rounds. b32 standard_nms is proven fine ALONE
+# (tools/probe_standard_nms.py), but this tool runs several programs +
+# loader processes in one long-lived process, and two b32 runs crashed
+# the v5e worker on 2026-08-19 — don't gamble the worker on a frontier.
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 H, W = 720, 1280
 
 
@@ -122,43 +127,68 @@ def main():
         # ---- device pipeline alone (resident batch)
         loader = build_loader("thread", 4)
         canvas = loader.canvas
-        model = build_model(cfg)
-        params = init_model_params(model, canvas, seed=0)
-        predictor = build_predictor(cfg, canvas, params=params)
-        batch0 = next(iter(loader))
         import jax.numpy as jnp
 
+        batch0 = next(iter(loader))
         images = jnp.asarray(batch0["images"])
         sizes = jnp.asarray(batch0["input_sizes"])
         osizes = jnp.asarray(batch0["output_sizes"])
         key = jax.random.PRNGKey(0)
-        log("compiling device pipeline...")
-        for i in range(6):
-            dets = predictor(images, sizes, osizes, key)
-        _ = np.asarray(dets.boxes)
-        t0 = time.time()
-        for i in range(6):
-            dets = predictor(images, sizes, osizes, key)
-        _ = np.asarray(dets.boxes)
-        dev = BATCH * 6 / (time.time() - t0)
-        report["device_img_per_s"] = round(dev, 1)
-        log(f"device pipeline: {dev:.1f} img/s")
 
-        # ---- end-to-end: loader feeding the device pipeline
-        for backend, workers in (("thread", 4), ("process", 4)):
-            loader = build_loader(backend, workers)
-            n = 0
-            t0 = time.time()
-            last = None
-            for b in iter(loader):
-                last = predictor(
-                    b["images"], b["input_sizes"], b["output_sizes"], key
+        def mode_cfg(mode):
+            c = cfg.clone()
+            c.PROBABILISTIC_INFERENCE.INFERENCE_MODE = (
+                "bayes_od" if mode == "bayes_od_mc" else mode
+            )
+            if mode == "bayes_od_mc":
+                c.MODEL.PROBABILISTIC_MODELING.DROPOUT_RATE = 0.2
+                c.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NAME = (
+                    "loss_attenuation"
                 )
-                n += int(b["batch_valid"].sum())
-            _ = np.asarray(last.boxes)
-            dt = time.time() - t0
-            report[f"e2e_{backend}_img_per_s"] = round(n / dt, 1)
-            log(f"e2e[{backend} x{workers}]: {n / dt:.1f} img/s")
+                c.MODEL.PROBABILISTIC_MODELING.CLS_VAR_LOSS.NUM_SAMPLES = 10
+                c.MODEL.PROBABILISTIC_MODELING.BBOX_COV_LOSS.NAME = (
+                    "negative_log_likelihood"
+                )
+                c.PROBABILISTIC_INFERENCE.AFFINITY_THRESHOLD = 0.9
+                c.PROBABILISTIC_INFERENCE.MC_DROPOUT.ENABLE = True
+                c.PROBABILISTIC_INFERENCE.MC_DROPOUT.NUM_RUNS = 10
+                c.PROBABILISTIC_INFERENCE.BAYES_OD.CLS_MERGE_MODE = "max_score"
+            return c
+
+        # Both user-facing pipelines: plain standard NMS (host decode is
+        # the wall) and the flagship BayesOD+MC (device is the wall).
+        for mode in ("standard_nms", "bayes_od_mc"):
+            mcfg = mode_cfg(mode)
+            model = build_model(mcfg)
+            params = init_model_params(model, canvas, seed=0)
+            predictor = build_predictor(mcfg, canvas, params=params)
+            log(f"[{mode}] compiling device pipeline...")
+            for i in range(6):
+                dets = predictor(images, sizes, osizes, key)
+            _ = np.asarray(dets.boxes)
+            t0 = time.time()
+            for i in range(6):
+                dets = predictor(images, sizes, osizes, key)
+            _ = np.asarray(dets.boxes)
+            dev = BATCH * 6 / (time.time() - t0)
+            report[f"device_{mode}_img_per_s"] = round(dev, 1)
+            log(f"[{mode}] device pipeline: {dev:.1f} img/s")
+
+            # ---- end-to-end: loader feeding the device pipeline
+            for backend, workers in (("thread", 4), ("process", 4)):
+                loader = build_loader(backend, workers)
+                n = 0
+                t0 = time.time()
+                last = None
+                for b in iter(loader):
+                    last = predictor(
+                        b["images"], b["input_sizes"], b["output_sizes"], key
+                    )
+                    n += int(b["batch_valid"].sum())
+                _ = np.asarray(last.boxes)
+                dt = time.time() - t0
+                report[f"e2e_{mode}_{backend}_img_per_s"] = round(n / dt, 1)
+                log(f"[{mode}] e2e[{backend} x{workers}]: {n / dt:.1f} img/s")
 
         print(json.dumps(report))
     finally:

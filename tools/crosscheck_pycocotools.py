@@ -149,7 +149,7 @@ def _pycocotools_stats(gt, dets):
     return np.asarray(ev.stats)
 
 
-def main(regen_fixtures: bool):
+def main(regen_fixtures: bool, gt_path=None, dt_path=None):
     if regen_fixtures:
         regen()
         return 0
@@ -163,11 +163,20 @@ def main(regen_fixtures: bool):
 
     have_native = native.available()
     rc = 0
-    for name in FIXTURES:
-        with open(os.path.join(FIXTURE_DIR, f"{name}_gt.json")) as f:
-            gt = json.load(f)
-        with open(os.path.join(FIXTURE_DIR, f"{name}_dt.json")) as f:
-            dets = json.load(f)
+    cases = list(FIXTURES)
+    if gt_path is not None:
+        cases.append("__user__")
+    for name in cases:
+        if name == "__user__":
+            with open(gt_path) as f:
+                gt = json.load(f)
+            with open(dt_path) as f:
+                dets = json.load(f)
+        else:
+            with open(os.path.join(FIXTURE_DIR, f"{name}_gt.json")) as f:
+                gt = json.load(f)
+            with open(os.path.join(FIXTURE_DIR, f"{name}_dt.json")) as f:
+                dets = json.load(f)
         stats_np = _first_party_stats(gt, dets, use_native=False)
         print(f"[{name}] numpy engine:  {np.round(stats_np, 6).tolist()}")
         if have_native:
@@ -199,5 +208,11 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--regen", action="store_true",
                    help="regenerate the canned fixtures")
+    p.add_argument("--gt", default=None,
+                   help="additional COCO-format GT json to cross-check")
+    p.add_argument("--dt", default=None,
+                   help="detections json matching --gt")
     args = p.parse_args()
-    sys.exit(main(args.regen))
+    if (args.gt is None) != (args.dt is None):
+        p.error("--gt and --dt must be given together")
+    sys.exit(main(args.regen, args.gt, args.dt))

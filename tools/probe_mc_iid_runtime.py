@@ -22,10 +22,23 @@ single program's footprint.
 
 Logs per-iteration wall times (a superlinear blowup before a crash would
 point at a runtime/RPC timeout rather than memory).
+
+FINDING (round 4, 2026-08-19): `probe 20` — one program, fresh process,
+compile-time peak 8.08 GB (well under the 13.5 GB budget) — crashed the
+v5e worker on the FIRST invocation. The failure is therefore a
+runtime/codegen fault crossing somewhere in b17-b20, NOT cross-program
+residency and NOT an HBM-accounting gap (8 GB cannot exceed a 13.5 GB
+budget). Each bisect point costs a ~50-min worker outage, so the guard
+now pins the largest empirically validated batch for mc_iid pipelines
+(utils/hbm_guard.py::MC_IID_PROVEN_SAFE_BATCH = 16) instead of probing
+further; see DESIGN.md §5d.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
