@@ -222,6 +222,17 @@ class _WorkerPool:
             return self._pool.map(fn, items, chunksize=1)
         return list(self._pool.map(fn, items))
 
+    def close(self):
+        """Release worker processes/threads promptly. Spawn-pool workers
+        are NOT reliably reclaimed by GC (the pool's handler thread keeps
+        it alive), so long-lived hosts building many loaders should close
+        retired ones explicitly."""
+        if self.backend == "process":
+            self._pool.terminate()
+            self._pool.join()
+        else:
+            self._pool.shutdown(wait=False)
+
 
 class TrainLoader:
     """Infinite shuffled loader with static canvas and padded ground truth
@@ -263,6 +274,10 @@ class TrainLoader:
         )
         self.seed = seed
         self.prefetch = prefetch
+
+    def close(self):
+        """Release the decode worker pool (see _WorkerPool.close)."""
+        self._pool.close()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self.iter_from(0)
@@ -356,6 +371,10 @@ class TestLoader:
 
     def __len__(self):
         return -(-len(self.records) // self.batch_size)
+
+    def close(self):
+        """Release the decode worker pool (see _WorkerPool.close)."""
+        self._pool.close()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         def gen():

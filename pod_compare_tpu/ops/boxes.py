@@ -133,6 +133,55 @@ def decode_deltas(
     )
 
 
+def _decoded_mean_terms(deltas, sww, shh, anchors, weights):
+    """Shared exact prefix of decoded_box_moments / decoded_box_mean.
+
+    Anchor decomposition, weight scaling, the SCALE_CLAMP /
+    _MOMENT_VAR_CLAMP saturation guard (the sampled pipeline clamps every
+    drawn dw/dh at SCALE_CLAMP, so exp() never overflows even for
+    degenerate heads emitting ~1e6 log-variances; inactive for trained
+    heads with sigma ~ 0.01-0.3), the lognormal size means, and the mean
+    corner boxes — ELEMENTWISE ONLY, so both callers return bit-identical
+    means on every backend. This shared helper is what makes the
+    defer-covariance path's "bit-identical means" contract structural
+    rather than by-convention.
+
+    `sww`/`shh` are the RAW (unweighted) log-size delta variances; the
+    returned pair is weight-scaled and clamped.
+
+    Returns (mean_boxes, (ax, ay, aw, ah), (fw, fh), (sww, shh),
+    (ew, eh)).
+    """
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + 0.5 * aw
+    ay = anchors[..., 1] + 0.5 * ah
+
+    w = jnp.asarray(weights, deltas.dtype)
+    m = deltas / w  # (..., 4) scaled means
+    sww = sww / (w[2] * w[2])
+    shh = shh / (w[3] * w[3])
+
+    mx, my = m[..., 0], m[..., 1]
+    mw = jnp.minimum(m[..., 2], SCALE_CLAMP)
+    mh = jnp.minimum(m[..., 3], SCALE_CLAMP)
+    fw = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(sww, _MOMENT_VAR_CLAMP))
+    fh = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(shh, _MOMENT_VAR_CLAMP))
+    sww = sww * fw * fw
+    shh = shh * fh * fh
+
+    ew = jnp.exp(mw + 0.5 * sww)  # E[exp(dw)]
+    eh = jnp.exp(mh + 0.5 * shh)
+    px = ax + aw * mx
+    py = ay + ah * my
+    pw = aw * ew
+    ph = ah * eh
+    mean_boxes = jnp.stack(
+        [px - 0.5 * pw, py - 0.5 * ph, px + 0.5 * pw, py + 0.5 * ph], -1
+    )
+    return mean_boxes, (ax, ay, aw, ah), (fw, fh), (sww, shh), (ew, eh)
+
+
 def decoded_box_moments(
     deltas: jnp.ndarray,
     cov: jnp.ndarray,
@@ -164,44 +213,28 @@ def decoded_box_moments(
     Returns:
         (mean_boxes (..., 4) XYXY, box_covs (..., 4, 4)).
     """
-    aw = anchors[..., 2] - anchors[..., 0]
-    ah = anchors[..., 3] - anchors[..., 1]
-    ax = anchors[..., 0] + 0.5 * aw
-    ay = anchors[..., 1] + 0.5 * ah
+    mean_boxes, (ax, ay, aw, ah), (fw, fh), (sww, shh), (ew, eh) = (
+        _decoded_mean_terms(
+            deltas, cov[..., 2, 2], cov[..., 3, 3], anchors, weights
+        )
+    )
 
     w = jnp.asarray(weights, deltas.dtype)
-    m = deltas / w  # (..., 4) scaled means
     s = cov / (w[:, None] * w[None, :])  # (..., 4, 4) scaled covariance
-
-    mx, my, mw, mh = (m[..., i] for i in range(4))
     sxx, syy = s[..., 0, 0], s[..., 1, 1]
-    sww, shh = s[..., 2, 2], s[..., 3, 3]
     sxy, sxw, sxh = s[..., 0, 1], s[..., 0, 2], s[..., 0, 3]
     syw, syh, swh = s[..., 1, 2], s[..., 1, 3], s[..., 2, 3]
 
-    # Saturation guard: the sampled pipeline clamps every drawn dw/dh at
-    # SCALE_CLAMP, so exp() never overflows even for degenerate heads
-    # (untrained full-cov heads emit ~1e6 log-variances). Mirror that by
-    # clamping the scaled log-size mean and, PSD-safely, its variance:
-    # scale the whole w (resp. h) row/column of s by sqrt(cap/s_ww) so
-    # |s_iw| <= sqrt(s_ii * s_ww) keeps holding. Inactive for trained
-    # heads (sigma ~ 0.01-0.3 << cap).
-    mw = jnp.minimum(mw, SCALE_CLAMP)
-    mh = jnp.minimum(mh, SCALE_CLAMP)
-    fw = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(sww, _MOMENT_VAR_CLAMP))
-    fh = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(shh, _MOMENT_VAR_CLAMP))
-    sww = sww * fw * fw
-    shh = shh * fh * fh
+    # Complete the saturation guard (see _decoded_mean_terms, which
+    # clamped sww/shh) PSD-safely on the off-diagonals: scaling the whole
+    # w (resp. h) row/column of s by fw=sqrt(cap/s_ww) keeps
+    # |s_iw| <= sqrt(s_ii * s_ww) holding.
     swh = swh * fw * fh
     sxw, syw = sxw * fw, syw * fw
     sxh, syh = sxh * fh, syh * fh
 
-    ew = jnp.exp(mw + 0.5 * sww)  # E[exp(dw)]
-    eh = jnp.exp(mh + 0.5 * shh)
-
-    # Moments of t = (px, py, pw, ph) = (ax + aw·dx, ay + ah·dy,
+    # Covariance of t = (px, py, pw, ph) = (ax + aw·dx, ay + ah·dy,
     # aw·exp(dw), ah·exp(dh)).
-    t_mean = jnp.stack([ax + aw * mx, ay + ah * my, aw * ew, ah * eh], -1)
     c00 = aw * aw * sxx
     c01 = aw * ah * sxy
     c02 = aw * aw * sxw * ew
@@ -222,7 +255,11 @@ def decoded_box_moments(
         -2,
     )
 
-    # Box corners are affine in t: b = A t.
+    # Box corners are affine in t: b = A t. The MEAN comes from the
+    # shared elementwise helper (an einsum here would ride the bf16 MXU
+    # under TPU default precision and break the bit-identity contract
+    # with decoded_box_mean that the defer-covariance path relies on);
+    # the covariance congruence keeps the exact-f32 einsum.
     a_mat = jnp.asarray(
         [
             [1.0, 0.0, -0.5, 0.0],
@@ -232,7 +269,6 @@ def decoded_box_moments(
         ],
         deltas.dtype,
     )
-    mean_boxes = jnp.einsum("ij,...j->...i", a_mat, t_mean)
     box_covs = jnp.einsum(
         "ij,...jk,lk->...il", a_mat, t_cov, a_mat, precision="highest"
     )
@@ -251,8 +287,8 @@ def decoded_box_mean(
     (the lognormal shift exp(Σww/2)), so NMS-first pipelines compute means
     for every candidate at O(C·4) and defer the O(C·16) covariance
     algebra to the ≤max_dets survivors (inference/core.py
-    `defer_covariance`). Same clamp expressions as the moments path so
-    means stay bit-identical.
+    `defer_covariance`). Shares `_decoded_mean_terms` with the moments
+    path, so means are bit-identical BY CONSTRUCTION on every backend.
 
     Args:
         deltas: (..., 4) mean deltas μ (raw head output scale).
@@ -261,33 +297,10 @@ def decoded_box_mean(
     Returns:
         mean boxes (..., 4) XYXY.
     """
-    aw = anchors[..., 2] - anchors[..., 0]
-    ah = anchors[..., 3] - anchors[..., 1]
-    ax = anchors[..., 0] + 0.5 * aw
-    ay = anchors[..., 1] + 0.5 * ah
-
-    w = jnp.asarray(weights, deltas.dtype)
-    m = deltas / w
-    d = diag_cov / (w * w)
-    mx, my, mw, mh = (m[..., i] for i in range(4))
-    sww, shh = d[..., 2], d[..., 3]
-
-    mw = jnp.minimum(mw, SCALE_CLAMP)
-    mh = jnp.minimum(mh, SCALE_CLAMP)
-    fw = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(sww, _MOMENT_VAR_CLAMP))
-    fh = jnp.sqrt(_MOMENT_VAR_CLAMP / jnp.maximum(shh, _MOMENT_VAR_CLAMP))
-    sww = sww * fw * fw
-    shh = shh * fh * fh
-
-    ew = jnp.exp(mw + 0.5 * sww)
-    eh = jnp.exp(mh + 0.5 * shh)
-    px = ax + aw * mx
-    py = ay + ah * my
-    pw = aw * ew
-    ph = ah * eh
-    return jnp.stack(
-        [px - 0.5 * pw, py - 0.5 * ph, px + 0.5 * pw, py + 0.5 * ph], -1
+    mean_boxes, _, _, _, _ = _decoded_mean_terms(
+        deltas, diag_cov[..., 2], diag_cov[..., 3], anchors, weights
     )
+    return mean_boxes
 
 
 def decode_delta_samples(

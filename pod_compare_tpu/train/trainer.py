@@ -221,9 +221,13 @@ class Trainer:
         self.train_step = make_train_step(cfg, self.model, self.anchors, self.mesh)
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
         self.storage = EventStorage(cfg.OUTPUT_DIR)
-        # (loader, predictor) reused across test() calls so periodic eval
-        # doesn't rebuild + re-jit the whole pipeline every EVAL_PERIOD.
-        self._eval_cache = None
+        # (dataset, batch) -> (loader, predictor), reused across test()
+        # calls so periodic eval doesn't rebuild + re-jit the pipeline
+        # every EVAL_PERIOD. A dict (not one slot): alternating eval on
+        # two val splits mid-run must reuse BOTH pipelines instead of
+        # rebuilding (~40-50 s re-jit) and leaking the evicted loader's
+        # worker pool on every call.
+        self._eval_cache = {}
 
     def resume_or_load(self, resume: bool = False) -> None:
         """Resume from the latest checkpoint, else warm-start from
@@ -330,15 +334,8 @@ class Trainer:
         cfg = self.cfg.clone().defrost()
         cfg.PROBABILISTIC_INFERENCE.INFERENCE_MODE = "standard_nms"
         test_dataset = test_dataset or cfg.DATASETS.TEST[0]
-        if (
-            self._eval_cache is not None
-            and self._eval_cache[:2] != (test_dataset, batch_size)
-        ):
-            # A different dataset/batch mid-run (e.g. eval on a second val
-            # split) is a legitimate call pattern: drop the cached pipeline
-            # and rebuild for the new shapes.
-            self._eval_cache = None
-        if self._eval_cache is None:
+        cache_key = (test_dataset, batch_size)
+        if cache_key not in self._eval_cache:
             from pod_compare_tpu.data.loader import TestLoader
             from pod_compare_tpu.inference.predictor import build_predictor
 
@@ -362,8 +359,8 @@ class Trainer:
                 cfg, loader.canvas, params=self.state.params,
                 mesh=self.mesh if self.mesh.devices.size > 1 else None,
             )
-            self._eval_cache = (test_dataset, batch_size, loader, predictor)
-        _, _, loader, predictor = self._eval_cache
+            self._eval_cache[cache_key] = (loader, predictor)
+        loader, predictor = self._eval_cache[cache_key]
         predictor.params = self.state.params  # jit is shape-keyed: no re-trace
         summary = run_inference(
             cfg,

@@ -36,6 +36,7 @@ driver's end-of-round bench always started cold. Two fixes here:
   still fell back (`get_cache_stats()`).
 """
 
+import json
 import logging
 import os
 import shutil
@@ -59,6 +60,44 @@ _DEFAULT_CACHE_DIR = os.environ.get(
 # (~9 min of an 18-min cold bench, vs ~4 min for the three big
 # compiles). They total ~23 MB, so shipping all of them is cheap.
 SEED_MIN_BYTES = int(os.environ.get("POD_COMPARE_WARM_CACHE_MIN_BYTES", 0))
+
+# The cache dir most recently activated by enable_persistent_cache();
+# sync_warm_cache() reads from it so an explicit cache_dir argument and
+# the warm-seed sync can never silently diverge.
+_ACTIVE_CACHE_DIR = None
+
+# Generation manifest: seed entries are tagged with the jax/jaxlib
+# version that produced them. XLA cache keys embed the compiler/backend
+# version, so entries from another toolchain generation can never match
+# again — sync_warm_cache() prunes them to keep the git-tracked seed from
+# growing a dead generation per environment rebuild. Best-effort: a
+# backend-only rebuild (same jaxlib) rotates keys without rotating the
+# tag, and those stale entries survive until the next jaxlib bump.
+_MANIFEST_NAME = "MANIFEST.json"
+
+
+def _version_tag() -> str:
+    import jax
+    import jaxlib
+
+    return f"jax-{jax.__version__}/jaxlib-{jaxlib.__version__}"
+
+
+def _load_manifest(sdir: str) -> dict:
+    path = os.path.join(sdir, _MANIFEST_NAME)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_manifest(sdir: str, manifest: dict) -> None:
+    path = os.path.join(sdir, _MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=0, sort_keys=True)
+    os.replace(tmp, path)
 
 
 class _CacheEventCounter(logging.Handler):
@@ -156,6 +195,8 @@ def _copy_if_absent(src_dir: str, dst_dir: str, min_bytes: int = 0) -> int:
         return 0
     os.makedirs(dst_dir, exist_ok=True)
     for name in os.listdir(src_dir):
+        if name == _MANIFEST_NAME:
+            continue  # seed-dir bookkeeping, not a cache entry
         src = os.path.join(src_dir, name)
         dst = os.path.join(dst_dir, name)
         if not os.path.isfile(src) or os.path.exists(dst):
@@ -175,19 +216,55 @@ def seed_dir() -> str:
     return os.environ.get("POD_COMPARE_WARM_CACHE", _DEFAULT_SEED_DIR)
 
 
-def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None) -> int:
-    """Copy large live-cache executables into the repo warm-seed dir.
+def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
+                    prune_stale: bool = True) -> int:
+    """Copy live-cache executables into the repo warm-seed dir.
 
     Called by bench.py after its legs so the expensive TPU programs it
-    just compiled survive the next container rebuild. Returns the number
-    of entries newly copied.
+    just compiled survive the next container rebuild. Reads from the
+    cache dir activated by enable_persistent_cache() (falling back to
+    the default when it was never called). Also maintains the seed's
+    generation manifest: new entries are tagged with the current
+    jax/jaxlib version and, with `prune_stale`, entries tagged by a
+    DIFFERENT generation are deleted — their content-addressed keys can
+    never match again, so without pruning every environment rebuild
+    would strand a dead ~200 MB generation in the git-tracked seed.
+    Returns the number of entries newly copied.
     """
-    cache = _DEFAULT_CACHE_DIR
+    cache = _ACTIVE_CACHE_DIR if _ACTIVE_CACHE_DIR is not None else _DEFAULT_CACHE_DIR
     if not cache:
         return 0
-    n = _copy_if_absent(cache, seed_dir(), min_bytes=min_bytes)
-    if log is not None and n:
-        log(f"warm_cache: synced {n} new large executables into {seed_dir()}")
+    sdir = seed_dir()
+    n = _copy_if_absent(cache, sdir, min_bytes=min_bytes)
+    tag = _version_tag()
+    manifest = _load_manifest(sdir)
+    pruned = 0
+    names = [
+        name for name in (os.listdir(sdir) if os.path.isdir(sdir) else [])
+        if name != _MANIFEST_NAME
+        and os.path.isfile(os.path.join(sdir, name))
+    ]
+    for name in names:
+        prev = manifest.get(name)
+        if prev is None:
+            # New this sync, or pre-manifest: produced by (or seeded
+            # into) the current environment — tag as current.
+            manifest[name] = tag
+        elif prune_stale and prev != tag:
+            try:
+                os.remove(os.path.join(sdir, name))
+            except OSError:
+                continue
+            manifest.pop(name, None)
+            pruned += 1
+    # Drop manifest rows whose files are gone (e.g. manual deletion).
+    name_set = set(names)
+    manifest = {k: v for k, v in manifest.items() if k in name_set}
+    if names or manifest:
+        _save_manifest(sdir, manifest)
+    if log is not None and (n or pruned):
+        log(f"warm_cache: synced {n} new executables into {sdir}"
+            + (f"; pruned {pruned} stale-generation entries" if pruned else ""))
     return n
 
 
@@ -198,8 +275,9 @@ def enable_persistent_cache(cache_dir: str = None) -> str:
 
     Returns the cache directory in use ("" when disabled).
     """
-    global _COUNTER
+    global _COUNTER, _ACTIVE_CACHE_DIR
     cache_dir = _DEFAULT_CACHE_DIR if cache_dir is None else cache_dir
+    _ACTIVE_CACHE_DIR = cache_dir
     if not cache_dir:
         return ""
     import jax

@@ -43,20 +43,30 @@ def test_sync_warm_cache_round_trip(tmp_path, monkeypatch):
     _write(live / "jit_pipeline-deadbeef-cache", 2_000_000)
     _write(live / "jit_tiny-cafe-cache", 100)
     monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
+    # conftest's enable_persistent_cache points this at the session cache
+    monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", None)
     monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
     # Round-4 default: EVERYTHING syncs — the cold-start cost is the long
     # tail of small jit programs, not the big pipelines (see module
     # docstring); a min_bytes override still filters.
     assert cc.sync_warm_cache() == 2
     assert sorted(os.listdir(seed)) == [
-        "jit_pipeline-deadbeef-cache", "jit_tiny-cafe-cache",
+        cc._MANIFEST_NAME, "jit_pipeline-deadbeef-cache",
+        "jit_tiny-cafe-cache",
     ]
+    # every synced entry is tagged with the current toolchain generation
+    tag = cc._version_tag()
+    assert cc._load_manifest(str(seed)) == {
+        "jit_pipeline-deadbeef-cache": tag, "jit_tiny-cafe-cache": tag,
+    }
     # idempotent
     assert cc.sync_warm_cache() == 0
     seed2 = tmp_path / "seed2"
     monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed2))
     assert cc.sync_warm_cache(min_bytes=1_000_000) == 1
-    assert os.listdir(seed2) == ["jit_pipeline-deadbeef-cache"]
+    assert sorted(os.listdir(seed2)) == [
+        cc._MANIFEST_NAME, "jit_pipeline-deadbeef-cache",
+    ]
     # a fresh (post-rebuild) live cache re-seeds from the repo dir
     monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
     live2 = tmp_path / "live2"
@@ -64,6 +74,61 @@ def test_sync_warm_cache_round_trip(tmp_path, monkeypatch):
     assert sorted(os.listdir(live2)) == [
         "jit_pipeline-deadbeef-cache", "jit_tiny-cafe-cache",
     ]
+
+
+def test_sync_warm_cache_uses_active_cache_dir(tmp_path, monkeypatch):
+    """sync must read the dir enable_persistent_cache() activated, not the
+    import-time default — an explicit cache_dir otherwise compiles into
+    one dir while sync scans another and silently returns 0 (the exact
+    cold-start failure the feature exists to prevent)."""
+    active = tmp_path / "active"
+    stale_default = tmp_path / "default"
+    seed = tmp_path / "seed"
+    active.mkdir()
+    stale_default.mkdir()
+    _write(active / "jit_real-cache", 50)
+    _write(stale_default / "jit_wrong-cache", 50)
+    monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(stale_default))
+    monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", str(active))
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
+    assert cc.sync_warm_cache() == 1
+    assert "jit_real-cache" in os.listdir(seed)
+    assert "jit_wrong-cache" not in os.listdir(seed)
+
+
+def test_sync_warm_cache_prunes_stale_generations(tmp_path, monkeypatch):
+    """A jax/jaxlib rebuild rotates every XLA cache key; the seed entries
+    tagged by the previous generation can never match again and must be
+    pruned instead of accumulating a dead ~200 MB generation per rebuild
+    in the git-tracked seed dir."""
+    live = tmp_path / "live"
+    seed = tmp_path / "seed"
+    live.mkdir()
+    seed.mkdir()
+    monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
+    monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", None)
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
+    # a seed generation written by an older toolchain
+    _write(seed / "jit_old-cache", 40)
+    cc._save_manifest(str(seed), {"jit_old-cache": "jax-0.0.1/jaxlib-0.0.1"})
+    _write(live / "jit_new-cache", 40)
+    assert cc.sync_warm_cache() == 1
+    assert sorted(os.listdir(seed)) == [cc._MANIFEST_NAME, "jit_new-cache"]
+    assert cc._load_manifest(str(seed)) == {
+        "jit_new-cache": cc._version_tag()
+    }
+    # prune_stale=False keeps foreign generations (opt-out)
+    _write(seed / "jit_old2-cache", 40)
+    manifest = cc._load_manifest(str(seed))
+    manifest["jit_old2-cache"] = "jax-0.0.1/jaxlib-0.0.1"
+    cc._save_manifest(str(seed), manifest)
+    assert cc.sync_warm_cache(prune_stale=False) == 0
+    assert "jit_old2-cache" in os.listdir(seed)
+    # pre-manifest entries (no row) are adopted into the current generation
+    _write(seed / "jit_legacy-cache", 40)
+    assert cc.sync_warm_cache() == 0
+    assert cc._load_manifest(str(seed))["jit_legacy-cache"] == cc._version_tag()
+    assert "jit_legacy-cache" in os.listdir(seed)
 
 
 def test_read_retry_retries_errors_not_misses(monkeypatch):

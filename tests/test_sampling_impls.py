@@ -101,6 +101,36 @@ def test_decoded_box_moments_degenerate_variances_stay_finite(rng):
     )
 
 
+def test_decoded_box_mean_bitwise_matches_moments(rng):
+    """decoded_box_mean (the defer-covariance fast path) must equal the
+    mean returned by decoded_box_moments BITWISE — the defer redesign's
+    correctness argument (DESIGN.md §5d) is that NMS sees identical
+    means either way. Both now share _decoded_mean_terms (elementwise
+    only — an einsum mean would ride the bf16 MXU on TPU and break this),
+    so this pins the invariant structurally, degenerate variances
+    included."""
+    from pod_compare_tpu.ops.boxes import decoded_box_mean
+
+    n = 64
+    anchors_xy = rng.rand(n, 2).astype(np.float32) * 600
+    anchors = np.concatenate([anchors_xy, anchors_xy + 40], axis=1)
+    mu = np.asarray(rng.randn(n, 4) * 0.3, np.float32)
+    cov = np.asarray(_random_spd(rng, n, scale=0.1), np.float32)
+    # include saturation-guard-active rows (untrained-head magnitudes)
+    cov[:4, 2, 2] = cov[:4, 3, 3] = 1e6
+    mu[4:6, 2] = 30.0
+    weights = (1.3, 0.9, 1.1, 1.0)
+
+    mean_m, _ = decoded_box_moments(
+        jnp.asarray(mu), jnp.asarray(cov), jnp.asarray(anchors), weights
+    )
+    diag = jnp.stack([cov[:, i, i] for i in range(4)], -1)
+    mean_f = decoded_box_mean(
+        jnp.asarray(mu), diag, jnp.asarray(anchors), weights
+    )
+    assert (np.asarray(mean_m) == np.asarray(mean_f)).all()
+
+
 def test_classification_probs_analytic_vs_quadrature_oracle(rng):
     """16-node Gauss-Hermite == high-order float64 quadrature of
     E[sigmoid(z)], z ~ N(logit, var) (the limit the reference's 10-sample

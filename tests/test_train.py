@@ -371,13 +371,13 @@ def test_trainer_eval_shards_per_process(tiny_trainer, monkeypatch):
     import pod_compare_tpu.cli.apply_net as apply_net
 
     monkeypatch.setattr(apply_net, "run_inference", fake_run_inference)
-    trainer._eval_cache = None  # module-scoped fixture may be warm
+    trainer._eval_cache.clear()  # module-scoped fixture may be warm
     summary = trainer.test(test_dataset=name, batch_size=2)
     loader = captured["loader"]
     assert len(loader.records) == full_count // 2, (
         len(loader.records), full_count)
     assert summary["mAP"] == 0.25
-    trainer._eval_cache = None  # don't leak the sharded cache
+    trainer._eval_cache.clear()  # don't leak the sharded cache
 
 
 def test_resolve_weights_detectron2_scheme(tmp_path, monkeypatch):
@@ -405,28 +405,30 @@ def test_trainer_eval_cache_reused(tiny_trainer):
     cfg, trainer = tiny_trainer
     name = cfg.DATASETS.TRAIN[0]
     s1 = trainer.test(test_dataset=name, batch_size=2)
-    cache = trainer._eval_cache
-    assert cache is not None
+    entry = trainer._eval_cache[(name, 2)]
     s2 = trainer.test(test_dataset=name, batch_size=2)
-    assert trainer._eval_cache is cache
+    assert trainer._eval_cache[(name, 2)] is entry
     # the cached predictor must see the trainer's current params object
-    assert trainer._eval_cache[-1].params is trainer.state.params
+    assert entry[-1].params is trainer.state.params
     assert "mAP" in s1 and "mAP" in s2
 
 
 def test_trainer_eval_cache_rebuilds_on_changed_batch(tiny_trainer):
     """A different dataset/batch mid-run (eval on a second split) must
-    rebuild the cached eval pipeline, not assert (VERDICT r3 weak #7)."""
+    build a second pipeline, not assert (VERDICT r3 weak #7) — and
+    alternating BACK must reuse the first one (no rebuild/re-jit churn or
+    worker-pool leak from single-slot eviction)."""
     cfg, trainer = tiny_trainer
     name = cfg.DATASETS.TRAIN[0]
-    trainer._eval_cache = None  # module-scoped fixture may be warm
+    trainer._eval_cache.clear()  # module-scoped fixture may be warm
     s1 = trainer.test(test_dataset=name, batch_size=2)
-    cache = trainer._eval_cache
+    entry2 = trainer._eval_cache[(name, 2)]
     s2 = trainer.test(test_dataset=name, batch_size=4)
-    assert trainer._eval_cache is not cache
-    assert trainer._eval_cache[:2] == (name, 4)
+    assert (name, 4) in trainer._eval_cache
+    trainer.test(test_dataset=name, batch_size=2)
+    assert trainer._eval_cache[(name, 2)] is entry2
     assert "mAP" in s1 and "mAP" in s2
-    trainer._eval_cache = None
+    trainer._eval_cache.clear()
 
 
 def test_loader_iter_from_matches_uninterrupted_stream(tmp_path_factory):
