@@ -186,11 +186,22 @@ def run_inference(
             )
             num_images += 1
 
-    # One batch in flight: dispatch batch i+1 (async under jit), then do
-    # batch i's host fetch + JSON conversion while the device computes —
-    # host serialization rides under device time instead of after it.
+    # Two overlaps keep the device busy (VERDICT r4 #5):
+    #   * DevicePrefetcher moves batch i+1's arrays host→device on a
+    #     background thread while batch i computes (double-buffered H2D —
+    #     the tunnel/PCIe copy no longer serializes with compute);
+    #   * one batch in flight: dispatch batch i+1 (async under jit), then
+    #     do batch i's host fetch + JSON conversion while the device
+    #     computes.
+    from pod_compare_tpu.data.loader import DevicePrefetcher
+
+    batch_sharding = None
+    if getattr(predictor, "mesh", None) is not None:
+        from pod_compare_tpu.parallel.mesh import data_sharding
+
+        batch_sharding = data_sharding(predictor.mesh)
     pending = None
-    for batch in loader:
+    for batch in DevicePrefetcher(loader, sharding=batch_sharding):
         rng, key = jax.random.split(rng)
         dets = predictor(
             batch["images"], batch["input_sizes"], batch["output_sizes"], key
@@ -237,6 +248,7 @@ def run_inference(
 
     summary = {
         "num_images": num_images,
+        "num_detections": len(results),
         "images_per_second": images_per_second,
         "inference_output_dir": inference_output_dir,
     }

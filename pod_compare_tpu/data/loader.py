@@ -223,12 +223,18 @@ class _WorkerPool:
         return list(self._pool.map(fn, items))
 
     def close(self):
-        """Release worker processes/threads promptly. Spawn-pool workers
-        are NOT reliably reclaimed by GC (the pool's handler thread keeps
-        it alive), so long-lived hosts building many loaders should close
-        retired ones explicitly."""
+        """Release worker processes/threads. Spawn-pool workers are NOT
+        reliably reclaimed by GC (the pool's handler thread keeps it
+        alive), so long-lived hosts building many loaders should close
+        retired ones explicitly.
+
+        Safe to call while a prefetch thread is mid-map: `Pool.close()`
+        lets the in-flight map() drain before the workers exit (a
+        `terminate()` here would kill them mid-task and raise in the
+        prefetch thread). The blocked prefetch thread is a daemon and is
+        abandoned; the loader must not be iterated after close()."""
         if self.backend == "process":
-            self._pool.terminate()
+            self._pool.close()
             self._pool.join()
         else:
             self._pool.shutdown(wait=False)
@@ -317,6 +323,69 @@ class TrainLoader:
                     yield _collate(items)
 
         return iter(_Prefetcher(gen, self.prefetch))
+
+
+class DevicePrefetcher:
+    """Double-buffered host→device transfer over a batch iterator.
+
+    A background thread `jax.device_put`s the next batch's device-bound
+    arrays while the consumer computes on the current one, so the
+    host→device copy (synchronous and ~0.25 s/batch of 45 MB uint8
+    canvases through this sandbox's remote tunnel; PCIe DMA on a real TPU
+    VM) rides under device compute instead of serializing with it. The
+    transfer wait is IO (releases the GIL), so the overlap is real even
+    on a single host core. Host-only batch entries (image ids, validity
+    masks) pass through untouched for the result-drain side.
+
+    The reference's analog is torch DataLoader `pin_memory` + async
+    `.cuda(non_blocking=True)` (apply_net.py:33-35 keeps everything
+    synchronous instead).
+
+    Args:
+        batches: iterable of dict batches (TrainLoader/TestLoader).
+        keys: batch entries to move to device.
+        sharding: optional jax sharding for the device arrays (pass the
+            mesh data sharding for sharded inference; None = default
+            device).
+        depth: queue depth — 2 keeps exactly one batch in flight.
+    """
+
+    def __init__(
+        self,
+        batches,
+        keys=("images", "input_sizes", "output_sizes"),
+        sharding=None,
+        depth: int = 2,
+    ):
+        import jax
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._error = None
+
+        def worker():
+            try:
+                for batch in batches:
+                    out = dict(batch)
+                    for k in keys:
+                        if k in out:
+                            out[k] = jax.device_put(out[k], sharding)
+                    self._queue.put(out)
+            except BaseException as exc:  # propagate to the consumer
+                self._error = exc
+            finally:
+                self._queue.put(None)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
 
 
 class TestLoader:

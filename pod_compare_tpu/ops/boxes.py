@@ -22,6 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 # Standard clamp preventing exp() overflow in box decode (matches
 # detectron2's `_DEFAULT_SCALE_CLAMP` used by the reference transform).
@@ -179,6 +180,18 @@ def _decoded_mean_terms(deltas, sww, shh, anchors, weights):
     mean_boxes = jnp.stack(
         [px - 0.5 * pw, py - 0.5 * ph, px + 0.5 * pw, py + 0.5 * ph], -1
     )
+    # Materialize the (C, 4) mean instead of letting XLA re-fuse this
+    # cheap elementwise chain into every downstream consumer (NMS, IoU
+    # clustering, fusion). Without the barrier, consumer fusions
+    # duplicate the producer chain and its INPUTS — gathers of the
+    # (R, ·) head planes — stay live across the whole per-image
+    # pipeline, which ballooned the BayesOD+MC b32 program's compiled
+    # peak from 12.02 to 15.51 GB (round-4 regression: the einsum this
+    # elementwise form replaced had acted as a fusion barrier). An
+    # identity op: bit-identity between the mean-only and moments paths
+    # is untouched. Measured (compile-only, tools/probe_hbm.py,
+    # 2026-08-19): 15.51 -> 12.07 GB peak at batch 32.
+    mean_boxes = lax.optimization_barrier(mean_boxes)
     return mean_boxes, (ax, ay, aw, ah), (fw, fh), (sww, shh), (ew, eh)
 
 

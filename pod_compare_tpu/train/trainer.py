@@ -229,6 +229,18 @@ class Trainer:
         # worker pool on every call.
         self._eval_cache = {}
 
+    def close(self) -> None:
+        """Release loader worker pools (the train loader and every cached
+        eval pipeline's loader). The eval cache would otherwise pin one
+        worker pool per (dataset, batch) key for the Trainer's lifetime.
+        Safe to call once training/eval is finished; the Trainer must not
+        be used afterwards."""
+        self.checkpointer.wait()
+        self.loader.close()
+        for loader, _ in self._eval_cache.values():
+            loader.close()
+        self._eval_cache.clear()
+
     def resume_or_load(self, resume: bool = False) -> None:
         """Resume from the latest checkpoint, else warm-start from
         cfg.MODEL.WEIGHTS (reference: DetectionCheckpointer.resume_or_load,
@@ -379,7 +391,8 @@ class Trainer:
             return summary
         self.storage.put_scalars(
             **{"eval/mAP": summary.get("mAP", float("nan")),
-               "eval/AP50": summary.get("AP50", float("nan"))}
+               "eval/AP50": summary.get("AP50", float("nan")),
+               "eval/num_detections": summary.get("num_detections", 0)}
         )
         self.storage.write()
         self.logger.info(

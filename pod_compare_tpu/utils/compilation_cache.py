@@ -69,11 +69,29 @@ _ACTIVE_CACHE_DIR = None
 # Generation manifest: seed entries are tagged with the jax/jaxlib
 # version that produced them. XLA cache keys embed the compiler/backend
 # version, so entries from another toolchain generation can never match
-# again — sync_warm_cache() prunes them to keep the git-tracked seed from
-# growing a dead generation per environment rebuild. Best-effort: a
-# backend-only rebuild (same jaxlib) rotates keys without rotating the
-# tag, and those stale entries survive until the next jaxlib bump.
+# again in that generation's absence — sync_warm_cache() prunes them to
+# keep the git-tracked seed from growing a dead generation per
+# environment rebuild. A generation gets a grace period
+# (_GENERATION_GRACE syncs) before its entries are deleted so two
+# toolchains alternating syncs against the same seed (e.g. a
+# version-matrix CI) don't churn each other's entries every run.
+#
+# v2 manifest: {"syncs": N, "generations": {tag: last_seen_sync},
+# "entries": {name: {"gen": tag, "seen": sync_ordinal}}} where "seen" is
+# the last sync at which the entry was OBSERVED LIVE — freshly compiled
+# (copied into the seed that sync) or actually HIT by the persistent
+# cache this session (the read-retry wrapper records hit keys; cache
+# file names ARE the keys). Eviction under the byte cap is LRU on
+# "seen", so executables for superseded code revisions age out while
+# the entries every bench still loads stay pinned.
 _MANIFEST_NAME = "MANIFEST.json"
+_GENERATION_GRACE = 2  # syncs a generation may go unseen before pruning
+
+# Hard size cap for the git-tracked seed dir (VERDICT r4 #7: the seed had
+# grown to 269 MB, comparable to the repo's whole git history).
+SEED_CAP_BYTES = int(
+    os.environ.get("POD_COMPARE_WARM_CACHE_CAP_BYTES", int(150e6))
+)
 
 
 def _version_tag() -> str:
@@ -84,12 +102,26 @@ def _version_tag() -> str:
 
 
 def _load_manifest(sdir: str) -> dict:
+    """Load the seed manifest, migrating the v1 {name: tag} format."""
     path = os.path.join(sdir, _MANIFEST_NAME)
     try:
         with open(path) as f:
-            return json.load(f)
+            raw = json.load(f)
     except (OSError, ValueError):
-        return {}
+        raw = {}
+    if "entries" in raw and isinstance(raw.get("entries"), dict):
+        raw.setdefault("syncs", 0)
+        raw.setdefault("generations", {})
+        return raw
+    # v1: flat {entry_name: generation_tag}. Treat everything as seen at
+    # sync 0 of the new numbering.
+    entries = {
+        name: {"gen": tag, "seen": 0}
+        for name, tag in raw.items()
+        if isinstance(tag, str)
+    }
+    gens = {tag: 0 for tag in set(e["gen"] for e in entries.values())}
+    return {"syncs": 0, "generations": gens, "entries": entries}
 
 
 def _save_manifest(sdir: str, manifest: dict) -> None:
@@ -124,6 +156,7 @@ class _CacheEventCounter(logging.Handler):
 
 _COUNTER = None
 _READ_FALLBACKS = []  # (module_name, error repr) after retries exhausted
+_HIT_KEYS = set()  # cache keys (== cache file names) hit this session
 
 
 def get_cache_stats():
@@ -162,9 +195,14 @@ def _install_read_retry(attempts: int = 3, base_delay_s: float = 2.0):
         for attempt in range(attempts):
             try:
                 # Returns (None, None) on a genuine miss — no retry then.
-                return _cc.get_executable_and_time(
+                out = _cc.get_executable_and_time(
                     cache_key, compile_options, backend, executable_devices
                 )
+                if out[0] is not None:
+                    # Cache file names ARE the keys: record the hit so
+                    # sync_warm_cache's LRU knows this entry is still live.
+                    _HIT_KEYS.add(cache_key)
+                return out
             except Exception as ex:  # transient read/deserialize failure
                 last_exc = ex
                 if attempt + 1 < attempts:
@@ -217,54 +255,127 @@ def seed_dir() -> str:
 
 
 def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
-                    prune_stale: bool = True) -> int:
+                    prune_stale: bool = True,
+                    cap_bytes: int = None,
+                    hit_keys=None) -> int:
     """Copy live-cache executables into the repo warm-seed dir.
 
     Called by bench.py after its legs so the expensive TPU programs it
     just compiled survive the next container rebuild. Reads from the
     cache dir activated by enable_persistent_cache() (falling back to
-    the default when it was never called). Also maintains the seed's
-    generation manifest: new entries are tagged with the current
-    jax/jaxlib version and, with `prune_stale`, entries tagged by a
-    DIFFERENT generation are deleted — their content-addressed keys can
-    never match again, so without pruning every environment rebuild
-    would strand a dead ~200 MB generation in the git-tracked seed.
+    the default when it was never called). Maintenance on top of the
+    copy (VERDICT r4 #7 / ADVICE r4):
+
+    * generation pruning with grace: entries tagged by a jax/jaxlib
+      generation that hasn't been the syncing toolchain for
+      `_GENERATION_GRACE` consecutive syncs are deleted (their keys can
+      never match that environment again). The grace window keeps two
+      toolchains alternating against the same seed (version-matrix CI)
+      from churning each other's entries every run.
+    * LRU byte cap (`cap_bytes`, default SEED_CAP_BYTES = 150 MB):
+      entries OBSERVED LIVE this sync — freshly copied, or actually hit
+      by the persistent cache this session (`hit_keys`, default: the
+      read-retry wrapper's record) — refresh their "seen" ordinal;
+      when the seed exceeds the cap, the oldest-seen (then largest)
+      entries are evicted first, so executables for superseded code
+      revisions age out while the programs every bench still loads stay
+      pinned. Current-sync entries are never evicted.
+
     Returns the number of entries newly copied.
     """
     cache = _ACTIVE_CACHE_DIR if _ACTIVE_CACHE_DIR is not None else _DEFAULT_CACHE_DIR
     if not cache:
         return 0
+    if cap_bytes is None:
+        cap_bytes = SEED_CAP_BYTES
+    if hit_keys is None:
+        hit_keys = _HIT_KEYS
     sdir = seed_dir()
+    before = set(
+        name for name in (os.listdir(sdir) if os.path.isdir(sdir) else [])
+        if name != _MANIFEST_NAME
+    )
     n = _copy_if_absent(cache, sdir, min_bytes=min_bytes)
     tag = _version_tag()
     manifest = _load_manifest(sdir)
+    manifest["syncs"] = now = int(manifest.get("syncs", 0)) + 1
+    gens = manifest["generations"]
+    gens[tag] = now
+    entries = manifest["entries"]
     pruned = 0
     names = [
         name for name in (os.listdir(sdir) if os.path.isdir(sdir) else [])
         if name != _MANIFEST_NAME
         and os.path.isfile(os.path.join(sdir, name))
     ]
+
+    def _remove(name):
+        try:
+            os.remove(os.path.join(sdir, name))
+        except OSError:
+            return False
+        entries.pop(name, None)
+        return True
+
     for name in names:
-        prev = manifest.get(name)
-        if prev is None:
+        rec = entries.get(name)
+        fresh = name not in before
+        if rec is None:
             # New this sync, or pre-manifest: produced by (or seeded
             # into) the current environment — tag as current.
-            manifest[name] = tag
-        elif prune_stale and prev != tag:
-            try:
-                os.remove(os.path.join(sdir, name))
-            except OSError:
-                continue
-            manifest.pop(name, None)
-            pruned += 1
-    # Drop manifest rows whose files are gone (e.g. manual deletion).
-    name_set = set(names)
-    manifest = {k: v for k, v in manifest.items() if k in name_set}
-    if names or manifest:
+            entries[name] = {"gen": tag, "seen": now}
+        elif fresh or name in hit_keys:
+            rec["seen"] = now
+            rec["gen"] = tag
+        elif (
+            prune_stale
+            and rec["gen"] != tag
+            and now - int(gens.get(rec["gen"], 0)) >= _GENERATION_GRACE
+        ):
+            pruned += _remove(name)
+    # Drop manifest rows whose files are gone (e.g. manual deletion),
+    # and generations with no remaining entries (except the current).
+    name_set = {
+        name for name in (os.listdir(sdir) if os.path.isdir(sdir) else [])
+        if name != _MANIFEST_NAME
+    }
+    manifest["entries"] = entries = {
+        k: v for k, v in entries.items() if k in name_set
+    }
+    live_gens = {v["gen"] for v in entries.values()} | {tag}
+    manifest["generations"] = {
+        g: s for g, s in gens.items() if g in live_gens
+    }
+
+    # LRU byte cap: evict oldest-seen (then largest) first; entries seen
+    # this sync are exempt (just compiled or just hit — definitely live).
+    evicted = 0
+    sizes = {}
+    for name in entries:
+        try:
+            sizes[name] = os.path.getsize(os.path.join(sdir, name))
+        except OSError:
+            sizes[name] = 0
+    total = sum(sizes.values())
+    if total > cap_bytes:
+        victims = sorted(
+            (name for name, rec in entries.items() if rec["seen"] < now),
+            key=lambda name: (entries[name]["seen"], -sizes[name]),
+        )
+        for name in victims:
+            if total <= cap_bytes:
+                break
+            if _remove(name):
+                total -= sizes[name]
+                evicted += 1
+
+    if name_set or entries:
         _save_manifest(sdir, manifest)
-    if log is not None and (n or pruned):
+    if log is not None and (n or pruned or evicted):
         log(f"warm_cache: synced {n} new executables into {sdir}"
-            + (f"; pruned {pruned} stale-generation entries" if pruned else ""))
+            + (f"; pruned {pruned} stale-generation entries" if pruned else "")
+            + (f"; evicted {evicted} LRU entries over the "
+               f"{cap_bytes / 1e6:.0f} MB cap" if evicted else ""))
     return n
 
 

@@ -55,9 +55,14 @@ def test_sync_warm_cache_round_trip(tmp_path, monkeypatch):
         "jit_tiny-cafe-cache",
     ]
     # every synced entry is tagged with the current toolchain generation
+    # and the sync ordinal at which it was last observed live
     tag = cc._version_tag()
-    assert cc._load_manifest(str(seed)) == {
-        "jit_pipeline-deadbeef-cache": tag, "jit_tiny-cafe-cache": tag,
+    manifest = cc._load_manifest(str(seed))
+    assert manifest["syncs"] == 1
+    assert manifest["generations"] == {tag: 1}
+    assert manifest["entries"] == {
+        "jit_pipeline-deadbeef-cache": {"gen": tag, "seen": 1},
+        "jit_tiny-cafe-cache": {"gen": tag, "seen": 1},
     }
     # idempotent
     assert cc.sync_warm_cache() == 0
@@ -100,7 +105,9 @@ def test_sync_warm_cache_prunes_stale_generations(tmp_path, monkeypatch):
     """A jax/jaxlib rebuild rotates every XLA cache key; the seed entries
     tagged by the previous generation can never match again and must be
     pruned instead of accumulating a dead ~200 MB generation per rebuild
-    in the git-tracked seed dir."""
+    in the git-tracked seed dir — but only after a grace window of
+    _GENERATION_GRACE syncs, so two alternating toolchains
+    (version-matrix CI) don't churn each other's entries every run."""
     live = tmp_path / "live"
     seed = tmp_path / "seed"
     live.mkdir()
@@ -108,27 +115,101 @@ def test_sync_warm_cache_prunes_stale_generations(tmp_path, monkeypatch):
     monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
     monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", None)
     monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
-    # a seed generation written by an older toolchain
+    # a seed generation written by an older toolchain (v1 manifest:
+    # migrates with last_seen 0)
     _write(seed / "jit_old-cache", 40)
     cc._save_manifest(str(seed), {"jit_old-cache": "jax-0.0.1/jaxlib-0.0.1"})
     _write(live / "jit_new-cache", 40)
+    # sync 1: the old generation is within grace and survives
     assert cc.sync_warm_cache() == 1
+    assert "jit_old-cache" in os.listdir(seed)
+    # sync 2: grace exhausted (unseen for _GENERATION_GRACE syncs) — pruned
+    assert cc.sync_warm_cache() == 0
     assert sorted(os.listdir(seed)) == [cc._MANIFEST_NAME, "jit_new-cache"]
-    assert cc._load_manifest(str(seed)) == {
-        "jit_new-cache": cc._version_tag()
-    }
-    # prune_stale=False keeps foreign generations (opt-out)
-    _write(seed / "jit_old2-cache", 40)
     manifest = cc._load_manifest(str(seed))
-    manifest["jit_old2-cache"] = "jax-0.0.1/jaxlib-0.0.1"
+    assert manifest["entries"] == {
+        "jit_new-cache": {"gen": cc._version_tag(), "seen": 1}
+    }
+    assert manifest["generations"] == {cc._version_tag(): 2}
+    # prune_stale=False keeps foreign generations (opt-out) forever
+    _write(seed / "jit_old2-cache", 40)
+    manifest["entries"]["jit_old2-cache"] = {
+        "gen": "jax-0.0.1/jaxlib-0.0.1", "seen": 0,
+    }
     cc._save_manifest(str(seed), manifest)
     assert cc.sync_warm_cache(prune_stale=False) == 0
     assert "jit_old2-cache" in os.listdir(seed)
+    assert cc.sync_warm_cache(prune_stale=False) == 0
+    assert "jit_old2-cache" in os.listdir(seed)
+    # ...and prune_stale=True removes it (its generation is long unseen)
+    assert cc.sync_warm_cache() == 0
+    assert "jit_old2-cache" not in os.listdir(seed)
     # pre-manifest entries (no row) are adopted into the current generation
     _write(seed / "jit_legacy-cache", 40)
     assert cc.sync_warm_cache() == 0
-    assert cc._load_manifest(str(seed))["jit_legacy-cache"] == cc._version_tag()
+    manifest = cc._load_manifest(str(seed))
+    assert manifest["entries"]["jit_legacy-cache"]["gen"] == cc._version_tag()
     assert "jit_legacy-cache" in os.listdir(seed)
+
+
+def test_sync_warm_cache_alternating_generations_no_churn(tmp_path, monkeypatch):
+    """ADVICE r4: two toolchains alternating syncs against the same seed
+    must not delete each other's entries — each generation is re-seen
+    every other sync, always inside the grace window."""
+    live = tmp_path / "live"
+    seed = tmp_path / "seed"
+    live.mkdir()
+    monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
+    monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", None)
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
+    _write(live / "jit_a-cache", 40)
+
+    tags = ["jax-A/jaxlib-A", "jax-B/jaxlib-B"] * 3
+    for i, tag in enumerate(tags):
+        monkeypatch.setattr(cc, "_version_tag", lambda t=tag: t)
+        if i == 1:
+            _write(live / "jit_b-cache", 40)
+        cc.sync_warm_cache()
+        assert "jit_a-cache" in os.listdir(seed), f"sync {i} churned A"
+        if i >= 1:
+            assert "jit_b-cache" in os.listdir(seed), f"sync {i} churned B"
+
+
+def test_sync_warm_cache_byte_cap_lru(tmp_path, monkeypatch):
+    """VERDICT r4 #7: the git-tracked seed is bounded — over the cap, the
+    oldest-seen entries are evicted first; entries hit by the persistent
+    cache this session refresh their seen ordinal and survive; entries
+    fresh this sync are never evicted."""
+    live = tmp_path / "live"
+    seed = tmp_path / "seed"
+    live.mkdir()
+    monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
+    monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", None)
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
+
+    # sync 1: two old entries land (seen=1)
+    _write(live / "jit_stale-cache", 60)
+    _write(live / "jit_hot-cache", 60)
+    assert cc.sync_warm_cache(cap_bytes=1000) == 2
+    # sync 2: a fresh entry pushes the seed over the cap; jit_hot is hit
+    # this session, jit_stale is not — jit_stale is the LRU victim.
+    _write(live / "jit_fresh-cache", 60)
+    assert cc.sync_warm_cache(cap_bytes=150, hit_keys={"jit_hot-cache"}) == 1
+    names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
+    assert names == {"jit_hot-cache", "jit_fresh-cache"}
+    manifest = cc._load_manifest(str(seed))
+    assert manifest["entries"]["jit_hot-cache"]["seen"] == 2
+    # cap smaller than the current-sync set: current-sync entries are
+    # exempt, so the seed may exceed the cap rather than evict them.
+    # (Drop the evicted entry from the live dir too — in the real flow a
+    # fresh container's live cache is seeded FROM the repo dir, so an
+    # evicted entry only reappears if genuinely recompiled.)
+    os.remove(live / "jit_stale-cache")
+    _write(live / "jit_fresh2-cache", 60)
+    _write(live / "jit_fresh3-cache", 60)
+    assert cc.sync_warm_cache(cap_bytes=10, hit_keys=set()) == 2
+    names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
+    assert {"jit_fresh2-cache", "jit_fresh3-cache"} <= names
 
 
 def test_read_retry_retries_errors_not_misses(monkeypatch):

@@ -114,3 +114,34 @@ def test_train_loader_deterministic_seed(synth):
     b = next(iter(TrainLoader(synth, 2, 48, 1333, seed=7)))
     np.testing.assert_array_equal(a["image_ids"], b["image_ids"])
     np.testing.assert_allclose(a["images"], b["images"])
+
+
+def test_device_prefetcher_order_content_and_errors(synth):
+    """DevicePrefetcher must preserve batch order, move only the device
+    keys, pass host-side keys through untouched, and re-raise a producer
+    exception at the consumer."""
+    import jax
+
+    from pod_compare_tpu.data.loader import DevicePrefetcher
+
+    loader = TestLoader(synth, batch_size=2, min_size=48, max_size=1333)
+    direct = list(iter(loader))
+    fetched = list(DevicePrefetcher(iter(loader)))
+    assert len(fetched) == len(direct)
+    for a, b in zip(direct, fetched):
+        assert isinstance(b["images"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["images"]), a["images"])
+        np.testing.assert_array_equal(b["input_sizes"], a["input_sizes"])
+        # host-only entries pass through as-is
+        np.testing.assert_array_equal(b["image_ids"], a["image_ids"])
+        assert isinstance(b["image_ids"], np.ndarray)
+    loader.close()
+
+    def boom():
+        yield direct[0]
+        raise RuntimeError("decode exploded")
+
+    it = iter(DevicePrefetcher(boom()))
+    next(it)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(it)
