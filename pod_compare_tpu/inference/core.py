@@ -115,6 +115,14 @@ def classification_probs(
     if impl == "mc_shared":
         noise_shape = (num_samples,) + (1,) * (box_cls.ndim - 1) + box_cls.shape[-1:]
     else:
+        # mc_iid: one fused (S, R, K) draw. A scan-chunked variant
+        # (accumulate the sigmoid mean one sample at a time, identical
+        # per-logit law) was built and measured as a round-5 mitigation
+        # for the b17-20 v5e runtime fault: it did NOT dodge the fault
+        # (b20 still crashes the worker on its first invocation at the
+        # same 8.08 GB compile peak) and it costs 5% at the proven-safe
+        # batch (33.9 vs 35.8 img/s at b16) — so the one-shot form stays.
+        # See DESIGN.md §5d and tools/probe_mc_iid_runtime.py.
         noise_shape = (num_samples,) + box_cls.shape
     noise = jax.random.normal(rng, noise_shape, box_cls.dtype)
     return jnp.mean(jax.nn.sigmoid(box_cls[None] + noise * std[None]), axis=0)

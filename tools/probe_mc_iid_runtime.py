@@ -44,6 +44,10 @@ import numpy as np
 
 
 def probe(batch, params, release_after=True):
+    """PROBE_CLS_SAMPLING / PROBE_BOX_SAMPLING env overrides (default
+    mc_iid/mc_iid) support fault bisection by sampling AXIS: e.g.
+    PROBE_BOX_SAMPLING=analytic isolates the iid classification bank,
+    PROBE_CLS_SAMPLING=analytic isolates the iid box-decode bank."""
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +56,12 @@ def probe(batch, params, release_after=True):
     from pod_compare_tpu.utils.hbm_guard import guarded_compile
 
     cfg = bench.build_cfg("mc_iid")
+    cfg.PROBABILISTIC_INFERENCE.CLS_SAMPLING = os.environ.get(
+        "PROBE_CLS_SAMPLING", "mc_iid"
+    )
+    cfg.PROBABILISTIC_INFERENCE.BOX_SAMPLING = os.environ.get(
+        "PROBE_BOX_SAMPLING", "mc_iid"
+    )
     predictor = build_predictor(cfg, bench.BDD_CANVAS, params=params)
     rng = np.random.RandomState(0)
     images = jnp.asarray(
