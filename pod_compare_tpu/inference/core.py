@@ -162,8 +162,20 @@ def _topk_candidates(
 def _pick_chunk(num_samples: int, num_candidates: int) -> int:
     """Largest divisor of `num_samples` keeping a (chunk, C, 4) sample
     buffer under ~2^21 elements, so the 1000-sample decode never
-    materializes (S, C, 4) for the full per-level candidate set."""
-    limit = max(1, (1 << 21) // max(4 * num_candidates, 1))
+    materializes (S, C, 4) for the full per-level candidate set.
+
+    POD_BOX_SAMPLE_CHUNK_ELEMS overrides the element limit — a
+    fault-bisection knob for the b17-20 mc_iid v5e runtime fault
+    (tools/probe_mc_iid_runtime.py, DESIGN.md §5d): smaller chunks
+    shrink every live (chunk, C, 4) buffer in the sampled box decode
+    without changing the accumulated moments (chunk order is fixed by
+    the split keys, sums are exact in fp32 accumulation order per
+    chunk count — so only timings/memory move, not semantics at a
+    given chunk size)."""
+    import os as _os
+
+    elem_limit = int(_os.environ.get("POD_BOX_SAMPLE_CHUNK_ELEMS", 1 << 21))
+    limit = max(1, elem_limit // max(4 * num_candidates, 1))
     if num_samples <= limit:
         return num_samples
     for c in range(limit, 0, -1):
