@@ -12,6 +12,7 @@ reference becomes a static top-k with a validity mask. The per-image core
 vmaps over the batch axis.
 """
 
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -106,6 +107,18 @@ def classification_probs(
     if box_cls_var is None:
         return jax.nn.sigmoid(box_cls)
     std = jnp.sqrt(jnp.exp(box_cls_var))
+    if impl != "analytic" and os.environ.get("POD_IID_BANK_BARRIER"):
+        # Fault-bisection knob for the b17-20 mc_iid v5e runtime fault
+        # (DESIGN.md §5d): materialize the (R, K) logit mean/std before
+        # the (S, R, K) bank consumes them, so XLA cannot fuse the
+        # head-bank mean reduction (over the M dropout runs) into the
+        # bank's elementwise kernel. The standalone bank with
+        # PREMATERIALIZED operands survives the faulting shape
+        # (tools/repro_v5e_iid_bank_fault.py) while the in-pipeline bank
+        # crashes with both threefry and rbg bits — this isolates
+        # whether the pathological kernel is that producer fusion.
+        # Numerics unchanged (a barrier reorders no arithmetic).
+        box_cls, std = jax.lax.optimization_barrier((box_cls, std))
     if impl == "analytic":
         nodes, weights = np.polynomial.hermite.hermgauss(32)
         nodes = jnp.asarray(np.sqrt(2.0) * nodes, box_cls.dtype)
@@ -124,6 +137,26 @@ def classification_probs(
         # batch (33.9 vs 35.8 img/s at b16) — so the one-shot form stays.
         # See DESIGN.md §5d and tools/probe_mc_iid_runtime.py.
         noise_shape = (num_samples,) + box_cls.shape
+    if impl == "mc_iid" and os.environ.get("POD_IID_BANK_PRNG") == "rbg":
+        # Fault-bisection knob for the b17-20 mc_iid v5e runtime fault
+        # (DESIGN.md §5d): draw the bank from XLA's RngBitGenerator
+        # instead of threefry — a single HLO op with radically different
+        # codegen. Same per-logit law (iid normals are iid normals
+        # whatever the bit source); bits differ from the threefry
+        # default, which is fine because every mc_iid contract in this
+        # repo is law-based, not bit-based. Key conversion mirrors
+        # ops/pallas/dropout.py::rbg_dropout (2-u32 threefry key seeds a
+        # 4-u32 rbg key; distinct keys keep distinct streams).
+        # MEASURED (round 5): does NOT dodge the fault — the cls-only
+        # iid pipeline at b20 crashes the worker on its first invocation
+        # with rbg exactly as with threefry (same 8.11 GB compile peak),
+        # while the bare bank at identical shape survives standalone
+        # (tools/repro_v5e_iid_bank_fault.py). The bit source is
+        # innocent; the fault needs the surrounding pipeline.
+        data = jax.random.key_data(rng).astype(jnp.uint32)
+        rng = jax.random.wrap_key_data(
+            jnp.concatenate([data, data]), impl="rbg"
+        )
     noise = jax.random.normal(rng, noise_shape, box_cls.dtype)
     return jnp.mean(jax.nn.sigmoid(box_cls[None] + noise * std[None]), axis=0)
 
@@ -172,9 +205,7 @@ def _pick_chunk(num_samples: int, num_candidates: int) -> int:
     the split keys, sums are exact in fp32 accumulation order per
     chunk count — so only timings/memory move, not semantics at a
     given chunk size)."""
-    import os as _os
-
-    elem_limit = int(_os.environ.get("POD_BOX_SAMPLE_CHUNK_ELEMS", 1 << 21))
+    elem_limit = int(os.environ.get("POD_BOX_SAMPLE_CHUNK_ELEMS", 1 << 21))
     limit = max(1, elem_limit // max(4 * num_candidates, 1))
     if num_samples <= limit:
         return num_samples
