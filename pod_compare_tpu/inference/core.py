@@ -158,7 +158,17 @@ def classification_probs(
             jnp.concatenate([data, data]), impl="rbg"
         )
     noise = jax.random.normal(rng, noise_shape, box_cls.dtype)
-    return jnp.mean(jax.nn.sigmoid(box_cls[None] + noise * std[None]), axis=0)
+    probs = jnp.mean(jax.nn.sigmoid(box_cls[None] + noise * std[None]), axis=0)
+    if impl == "mc_iid" and os.environ.get("POD_IID_BANK_OUT_BARRIER"):
+        # Consumer-side twin of POD_IID_BANK_BARRIER (DESIGN.md §5d):
+        # materialize the (R, K) probs so the max/argmax consumers
+        # (core.py scores/classes — a VARIADIC reduce) cannot fuse onto
+        # the (S, R, K) bank chain. The analytic path never forms that
+        # fusion (its probs materialize after the Gauss-Hermite einsum),
+        # which is the remaining structural difference between the
+        # crashing iid pipeline and everything that survives.
+        probs = jax.lax.optimization_barrier(probs)
+    return probs
 
 
 def _topk_candidates(
