@@ -200,8 +200,13 @@ def run_inference(
         from pod_compare_tpu.parallel.mesh import data_sharding
 
         batch_sharding = data_sharding(predictor.mesh)
+    feed = (
+        DevicePrefetcher(loader, sharding=batch_sharding)
+        if cfg.DATALOADER.H2D_OVERLAP
+        else iter(loader)
+    )
     pending = None
-    for batch in DevicePrefetcher(loader, sharding=batch_sharding):
+    for batch in feed:
         rng, key = jax.random.split(rng)
         dets = predictor(
             batch["images"], batch["input_sizes"], batch["output_sizes"], key

@@ -218,6 +218,14 @@ def get_cfg() -> ConfigNode:
     # dataloader worker PROCESSES, apply_net.py:33-34; needed when one
     # host must feed >~40 img/s of 720p decode, DESIGN.md §5).
     _C.DATALOADER.WORKER_BACKEND = "thread"
+    # Double-buffered host->device transfer (DevicePrefetcher): batch i+1
+    # copies while batch i computes. Right on real TPU hosts (PCIe DMA,
+    # transfer wait releases the GIL); measured HARMFUL through a remote
+    # device tunnel, where the background copy RPCs contend with dispatch
+    # RPCs (tools/bench_loader_e2e.py round 5: overlap 18.2 vs 16.9 img/s
+    # on the thread-loader leg but 4.3 vs 11.3 on the pre-decoded leg).
+    # Set False when the device is tunneled.
+    _C.DATALOADER.H2D_OVERLAP = True
 
     # ------------------------------------------------------------------- TEST
     _C.TEST = ConfigNode()

@@ -72,6 +72,36 @@ def test_apply_net_pipeline(trained_setup):
     )
 
 
+def test_apply_net_no_h2d_overlap_identical(trained_setup):
+    """DATALOADER.H2D_OVERLAP=False must feed the identical plain-loader
+    batches (same order, same arrays) — detections byte-identical to the
+    default DevicePrefetcher path."""
+    from pod_compare_tpu.cli.apply_net import run_inference
+
+    cfg, name = trained_setup
+    base = run_inference(
+        cfg, name, "standard_nms", batch_size=2, run_metrics=False,
+        verbose=False,
+    )
+    # Same output dir both runs (checkpoint discovery needs OUTPUT_DIR):
+    # capture the first run's dump before the second overwrites it.
+    with open(os.path.join(
+        base["inference_output_dir"], "coco_instances_results.json"
+    )) as f:
+        a = f.read()
+    cfg2 = cfg.clone()
+    cfg2.DATALOADER.H2D_OVERLAP = False
+    no_overlap = run_inference(
+        cfg2, name, "standard_nms", batch_size=2, run_metrics=False,
+        verbose=False,
+    )
+    with open(os.path.join(
+        no_overlap["inference_output_dir"], "coco_instances_results.json"
+    )) as f:
+        b = f.read()
+    assert a == b
+
+
 def test_apply_net_bayes_od(trained_setup):
     from pod_compare_tpu.cli.apply_net import run_inference
     from pod_compare_tpu.config import get_cfg as _unused  # noqa
