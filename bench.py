@@ -43,7 +43,7 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # Compile-only bisect (2026-08-17, NOT executed): peak HBM b32=12.02,
 # b36=13.50, b40=15.46 GB -> b48 extrapolates to ~18.4 GB, past the
 # chip's ~16 GB, which quantifies the crash; b32 is the practical max.
-# The reference-exact mc_iid leg is pinned to 16: larger batches
+# The reference-exact mc_iid FUSED pipeline is pinned to 16: larger batches
 # compile clean (compile-time peak HBM b20=8.08, b24=9.08, b32=11.94 GB
 # — all under the 13.5 GB budget) but crash the v5e worker at runtime.
 # Round-4 isolation probe (tools/probe_mc_iid_runtime.py, 2026-08-19):
@@ -52,7 +52,14 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # crossing in b17-b20, not an HBM-accounting gap, and no compile-time
 # check can catch it. 16 is the largest empirically validated batch
 # (utils/hbm_guard.py::MC_IID_PROVEN_SAFE_BATCH).
-MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "16"))
+# Round-5 update: the two-program split pipeline (PROBABILISTIC_
+# INFERENCE.SPLIT_HEAD_PROGRAM, DESIGN.md §5d exp. 7) sidesteps the
+# fused-program fault — b24 runs clean at 36.0-36.6 img/s (vs 35.8 at
+# the fused b16 ceiling), so the mc_iid leg now ships split at b24.
+# Set BENCH_MC_IID_SPLIT=0 BENCH_MC_IID_BATCH=16 to measure the legacy
+# fused form.
+MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "24"))
+MC_IID_SPLIT = os.environ.get("BENCH_MC_IID_SPLIT", "1") not in ("", "0")
 # Training leg (reference-exact iid banks): batch 16 measured 8.07 GB
 # peak / 83.5 img/s (DESIGN.md §5b); proven safe on the v5e worker.
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
@@ -103,6 +110,11 @@ def measure(sampling: str, batch_size: int, params):
     from pod_compare_tpu.inference.predictor import build_predictor
 
     cfg = build_cfg(sampling)
+    if sampling == "mc_iid" and MC_IID_SPLIT:
+        # Two-program layout: the validated workaround for the fused
+        # mc_iid runtime fault; lifts the batch cap 16 -> 24
+        # (DESIGN.md §5d exp. 7, utils/hbm_guard.py).
+        cfg.PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM = True
     predictor = build_predictor(cfg, BDD_CANVAS, params=params)
 
     rng = np.random.RandomState(0)
@@ -116,21 +128,50 @@ def measure(sampling: str, batch_size: int, params):
     sizes_dev = jnp.asarray(sizes)
     from pod_compare_tpu.utils.hbm_guard import guarded_compile
 
-    compiled, info = guarded_compile(
-        predictor._fn,
-        (predictor.params, images, key, sizes_dev, sizes_dev),
-        name=sampling, log=log,
-    )
-    if info.get("skipped_oom_guard"):
-        return None
-    if compiled is not None:
-        # Reuse the guard's executable — re-entering jit would compile the
-        # same program a second time whenever the persistent-cache load
-        # fails (intermittent on this platform, ~400 s each).
-        run = lambda k: compiled(predictor.params, images, k,
-                                 sizes_dev, sizes_dev)
+    if predictor._head_fn is not None:
+        # Split pipeline: guard + reuse BOTH programs' executables.
+        head_c, hinfo = guarded_compile(
+            predictor._head_fn, (predictor.params, images, key),
+            name=f"{sampling}_head", log=log,
+        )
+        if hinfo.get("skipped_oom_guard"):
+            return None
+        head_shapes = jax.eval_shape(
+            predictor._head_fn, predictor.params, images, key
+        )
+        tail_args = tuple(
+            jax.tree_util.tree_map(
+                lambda o: jax.ShapeDtypeStruct(o.shape, o.dtype),
+                head_shapes,
+            )
+        ) + (sizes_dev, sizes_dev)
+        tail_c, tinfo = guarded_compile(
+            predictor._tail_fn, tail_args, name=f"{sampling}_tail", log=log,
+        )
+        if tinfo.get("skipped_oom_guard"):
+            return None
+        if head_c is not None and tail_c is not None:
+            run = lambda k: tail_c(
+                *head_c(predictor.params, images, k), sizes_dev, sizes_dev
+            )
+        else:
+            run = lambda k: predictor(images, sizes, sizes, k)
     else:
-        run = lambda k: predictor(images, sizes, sizes, k)
+        compiled, info = guarded_compile(
+            predictor._fn,
+            (predictor.params, images, key, sizes_dev, sizes_dev),
+            name=sampling, log=log,
+        )
+        if info.get("skipped_oom_guard"):
+            return None
+        if compiled is not None:
+            # Reuse the guard's executable — re-entering jit would compile
+            # the same program a second time whenever the persistent-cache
+            # load fails (intermittent on this platform, ~400 s each).
+            run = lambda k: compiled(predictor.params, images, k,
+                                     sizes_dev, sizes_dev)
+        else:
+            run = lambda k: predictor(images, sizes, sizes, k)
 
     log(f"[{sampling}] warmup...")
     t0 = time.time()

@@ -111,18 +111,17 @@ def run_inference(
         predictor = build_predictor(cfg, canvas, params, params_list, mesh=mesh)
 
     if auto_batch:
-        import jax.numpy as jnp
-
         from pod_compare_tpu.utils.hbm_guard import (
-            pick_max_batch,
+            pick_max_batch_programs,
+            predictor_programs,
             runtime_safe_batch_cap,
         )
 
-        key = jax.random.PRNGKey(0)
         # mc_iid pipelines fault the v5e worker at batches whose
         # compile-time peak is WELL under budget (hbm_guard.py:
         # MC_IID_PROVEN_SAFE_BATCH) — cap the candidates at the largest
-        # empirically validated batch for that family.
+        # empirically validated batch for that family (higher with
+        # SPLIT_HEAD_PROGRAM, the validated fault workaround).
         cap = runtime_safe_batch_cap(cfg)
         batch_candidates = (32, 24, 16, 8, 4, 2, 1)
         if cap is not None:
@@ -134,18 +133,9 @@ def run_inference(
                 "(runtime-fault boundary, utils/hbm_guard.py)"
             )
 
-        def make_args(b):
-            sizes = jax.ShapeDtypeStruct((b, 2), jnp.float32)
-            return (
-                predictor.params,
-                jax.ShapeDtypeStruct((b, *canvas, 3), jnp.float32),
-                jax.ShapeDtypeStruct(key.shape, key.dtype),
-                sizes,
-                sizes,
-            )
-
-        chosen, _, _ = pick_max_batch(
-            predictor._fn, make_args, batch_candidates,
+        chosen, _ = pick_max_batch_programs(
+            lambda b: predictor_programs(predictor, b, canvas),
+            batch_candidates,
             name=f"{inference_name}_auto",
             log=lambda m: logger.info(m),
         )

@@ -148,6 +148,16 @@ def get_cfg() -> ConfigNode:
     # (tests/test_pipeline_parity.py).
     _C.PROBABILISTIC_INFERENCE.CLS_SAMPLING = "analytic"
     _C.PROBABILISTIC_INFERENCE.BOX_SAMPLING = "analytic"
+    # Compile the MC-dropout/ensembles pipeline as TWO sequential XLA
+    # programs (head bank | sampling core+fusion) instead of one.
+    # Bit-identical outputs (same ops, same keys, same order; pinned by
+    # tests/test_split_program.py). This is the validated workaround for
+    # the v5e mc_iid runtime fault (DESIGN.md §5d): the fused mc_iid
+    # program crashes the worker at batch 17-20 while the split form runs
+    # b20/b24 clean — at ~10% steady-state cost (32.1 vs 35.8 img/s at
+    # b16), so the default stays fused with the b16 guard. Only
+    # meaningful for multi-run pre-NMS modes (the faulting family).
+    _C.PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM = False
     # Int8-quantized head-tower evaluation at inference ('none' | 'int8').
     # Exceeds the reference (no quantized path there): per-channel int8
     # weights + dynamic per-image activation scales, int32 MXU

@@ -93,6 +93,25 @@ class ProbabilisticPredictor:
             self.params = params
             self.num_members = 1
 
+        # Two-program pipeline layout (head bank | sampling core): the
+        # validated workaround for the v5e mc_iid fused-program runtime
+        # fault — see config/defaults.py::SPLIT_HEAD_PROGRAM and
+        # DESIGN.md §5d. Bit-identical to the fused pipeline.
+        self.split = bool(
+            cfg.PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM
+        )
+        is_multi = self.mode == "ensembles" or (
+            self.mc_enabled and self.num_runs > 1
+        )
+        if self.split and (self._is_post_nms_merge() or not is_multi):
+            raise ValueError(
+                "PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM only applies "
+                "to multi-run pre-NMS pipelines (MC dropout or ensembles "
+                "with pre-NMS/fusion merge) — the faulting family it "
+                "works around."
+            )
+
+        self._head_fn = self._tail_fn = None  # set by the split pipeline
         self._fn = self._build_pipeline()
 
     # ------------------------------------------------------------ internals
@@ -203,11 +222,105 @@ class ProbabilisticPredictor:
         out = model.apply({"params": params}, feats, True, method="forward_head")
         return out, False
 
+    def _build_split_pipeline(self, anchors, core_kwargs, mode_fn) -> Callable:
+        """Two sequential XLA programs: head bank | sampling core + fusion.
+
+        Same ops, same key derivations, same order as the fused pipeline
+        — outputs are bit-identical (tests/test_split_program.py). What
+        changes is the compilation unit: XLA fuses/schedules the head
+        bank and the sampling tail independently, with the (B, R, ·)
+        head moments materialized to HBM at the seam (device-resident;
+        no host round-trip).
+
+        This program layout is the validated workaround for the v5e
+        mc_iid runtime fault (DESIGN.md §5d): the fused mc_iid program
+        crashes the worker at batch 17-20 while this form runs b20/b24
+        clean — measured b24 = 36.6 img/s vs the fused pipeline's b16
+        guard ceiling of 35.8 (tools/probe_mc_iid_split.py).
+        """
+        def head_program(params, images, rng):
+            dropout_rng, sampling_rng = jax.random.split(rng)
+            outs, is_multi = self._member_outputs(params, images, dropout_rng)
+            assert is_multi  # enforced at __init__
+            mean_outs = _mean_outputs(outs)
+            # Batch-leading (B, M, R, 4): every seam buffer is batch-major
+            # (uniform data sharding under a mesh), and per-image slices
+            # match the fused pipeline's in_axes=1 view exactly.
+            run_deltas = jnp.swapaxes(outs["box_delta"], 0, 1)
+            img_keys = jax.random.split(sampling_rng, images.shape[0])
+            return mean_outs, run_deltas, img_keys
+
+        def tail_program(mean_outs, run_deltas, img_keys,
+                         input_sizes, output_sizes):
+            def per_image(key, cls_i, delta_i, cvar_i, rvar_i, rd_i):
+                cands = probabilistic_inference_core(
+                    key, anchors, cls_i, delta_i, cvar_i, rvar_i, rd_i,
+                    **core_kwargs,
+                )
+                return mode_fn(cands)
+
+            dets = jax.vmap(
+                per_image,
+                in_axes=(0, 0, 0, _ax(mean_outs["box_cls_var"]),
+                         _ax(mean_outs["box_reg_var"]), 0),
+            )(
+                img_keys,
+                mean_outs["box_cls"],
+                mean_outs["box_delta"],
+                mean_outs["box_cls_var"],
+                mean_outs["box_reg_var"],
+                run_deltas,
+            )
+            return jax.vmap(detector_postprocess)(
+                dets,
+                input_sizes[:, 0], input_sizes[:, 1],
+                output_sizes[:, 0], output_sizes[:, 1],
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from pod_compare_tpu.parallel.mesh import data_sharding, replicated
+
+            rep = replicated(self.mesh)
+            shard = data_sharding(self.mesh)
+            params_sharding = rep
+            if self.mode == "ensembles" and "member" in self.mesh.axis_names:
+                assert self.num_members % self.mesh.shape["member"] == 0, (
+                    f"{self.num_members} ensemble members not divisible by "
+                    f"member axis {self.mesh.shape['member']}"
+                )
+                params_sharding = NamedSharding(self.mesh, P("member"))
+            head = jax.jit(
+                head_program,
+                in_shardings=(params_sharding, shard, rep),
+                out_shardings=shard,
+            )
+            tail = jax.jit(
+                tail_program,
+                in_shardings=(shard, shard, shard, shard, shard),
+                out_shardings=shard,
+            )
+        else:
+            head = jax.jit(head_program)
+            tail = jax.jit(tail_program)
+        self._head_fn, self._tail_fn = head, tail
+
+        def fn(params, images, rng, input_sizes, output_sizes):
+            mean_outs, run_deltas, img_keys = head(params, images, rng)
+            return tail(
+                mean_outs, run_deltas, img_keys, input_sizes, output_sizes
+            )
+
+        return fn
+
     def _build_pipeline(self) -> Callable:
         anchors = self.anchors
         core_kwargs = self._core_kwargs()
         post_nms_merge = self._is_post_nms_merge()
         mode_fn = self._mode_fn()
+        if self.split:
+            return self._build_split_pipeline(anchors, core_kwargs, mode_fn)
         cfg = self.cfg
         nms_thresh = float(cfg.MODEL.RETINANET.NMS_THRESH_TEST)
         max_dets = int(cfg.TEST.DETECTIONS_PER_IMAGE)

@@ -157,6 +157,7 @@ class _CacheEventCounter(logging.Handler):
 _COUNTER = None
 _READ_FALLBACKS = []  # (module_name, error repr) after retries exhausted
 _HIT_KEYS = set()  # cache keys (== cache file names) hit this session
+_WRITTEN_KEYS = set()  # cache keys written (freshly compiled) this session
 
 
 def get_cache_stats():
@@ -221,6 +222,30 @@ def _install_read_retry(attempts: int = 3, base_delay_s: float = 2.0):
     _compiler._cache_read = _cache_read_with_retry
 
 
+def _install_write_recorder():
+    """Record the cache keys WRITTEN (freshly compiled) this session.
+
+    Together with the read wrapper's hit record this defines the
+    session's LIVE set — exactly the executables a driver bench run
+    touches — which is what sync_warm_cache's byte cap protects. Without
+    it, any entry merely PRESENT in the shared live-cache dir (probe
+    runs, test-suite CPU programs, superseded revisions) looked as fresh
+    as the bench's own programs and was exempt from eviction, which is
+    how the round-5 seed blew through its cap (568 MB vs 150)."""
+    from jax._src import compilation_cache as _cc
+
+    if getattr(_cc.put_executable_and_time, "_pod_compare_record", False):
+        return
+    orig = _cc.put_executable_and_time
+
+    def recording_put(cache_key, *args, **kwargs):
+        _WRITTEN_KEYS.add(cache_key)
+        return orig(cache_key, *args, **kwargs)
+
+    recording_put._pod_compare_record = True
+    _cc.put_executable_and_time = recording_put
+
+
 def _copy_if_absent(src_dir: str, dst_dir: str, min_bytes: int = 0) -> int:
     """Copy cache entries >= min_bytes from src to dst when absent there.
 
@@ -272,14 +297,21 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
       never match that environment again). The grace window keeps two
       toolchains alternating against the same seed (version-matrix CI)
       from churning each other's entries every run.
-    * LRU byte cap (`cap_bytes`, default SEED_CAP_BYTES = 150 MB):
-      entries OBSERVED LIVE this sync — freshly copied, or actually hit
-      by the persistent cache this session (`hit_keys`, default: the
-      read-retry wrapper's record) — refresh their "seen" ordinal;
-      when the seed exceeds the cap, the oldest-seen (then largest)
-      entries are evicted first, so executables for superseded code
-      revisions age out while the programs every bench still loads stay
-      pinned. Current-sync entries are never evicted.
+    * HARD LRU byte cap (`cap_bytes`, default SEED_CAP_BYTES = 150 MB):
+      entries OBSERVED LIVE this session — actually hit by the
+      persistent cache or freshly written by a compile (`hit_keys`,
+      default: the read/write wrappers' records) — refresh their "seen"
+      ordinal. Over the cap, eviction order is (1) stale entries
+      (seen < now), oldest then largest first; (2) entries copied this
+      sync but NOT observed live (present in the shared live-cache dir
+      from probe runs / test suites / superseded revisions); (3) live
+      entries, largest first — the long tail of small programs is the
+      expensive part of a cold start (~9 min vs ~1-3 min for the big
+      pipelines, round-4 measurement), so when something live must go,
+      shedding the largest loses the least warm-start value. The cap
+      holds unconditionally (round-5 postmortem: a fresh-entry
+      exemption let 5k probe/test leftovers balloon the seed to
+      568 MB).
 
     Returns the number of entries newly copied.
     """
@@ -289,7 +321,7 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
     if cap_bytes is None:
         cap_bytes = SEED_CAP_BYTES
     if hit_keys is None:
-        hit_keys = _HIT_KEYS
+        hit_keys = _HIT_KEYS | _WRITTEN_KEYS
     sdir = seed_dir()
     before = set(
         name for name in (os.listdir(sdir) if os.path.isdir(sdir) else [])
@@ -347,8 +379,9 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
         g: s for g, s in gens.items() if g in live_gens
     }
 
-    # LRU byte cap: evict oldest-seen (then largest) first; entries seen
-    # this sync are exempt (just compiled or just hit — definitely live).
+    # HARD LRU byte cap. Eviction classes (see docstring): stale first
+    # (oldest-seen, then largest), then entries present-but-not-observed
+    # -live this session, then live entries largest-first.
     evicted = 0
     sizes = {}
     for name in entries:
@@ -358,11 +391,17 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
             sizes[name] = 0
     total = sum(sizes.values())
     if total > cap_bytes:
-        victims = sorted(
-            (name for name, rec in entries.items() if rec["seen"] < now),
-            key=lambda name: (entries[name]["seen"], -sizes[name]),
-        )
-        for name in victims:
+        live = {name for name in entries if name in hit_keys}
+
+        def _evict_order(name):
+            rec = entries[name]
+            if rec["seen"] < now:
+                return (0, rec["seen"], -sizes[name])
+            if name not in live:
+                return (1, 0, -sizes[name])
+            return (2, 0, -sizes[name])
+
+        for name in sorted(entries, key=_evict_order):
             if total <= cap_bytes:
                 break
             if _remove(name):
@@ -409,6 +448,7 @@ def enable_persistent_cache(cache_dir: str = None) -> str:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _install_read_retry()
+    _install_write_recorder()
     if _COUNTER is None:
         _COUNTER = _CacheEventCounter()
         # The hit/miss lines are DEBUG-level in jax._src.compiler; route

@@ -32,6 +32,15 @@ HBM_BUDGET_BYTES = 13.5e9
 # bound for this pipeline family.
 MC_IID_PROVEN_SAFE_BATCH = 16
 
+# The two-program pipeline layout (PROBABILISTIC_INFERENCE.
+# SPLIT_HEAD_PROGRAM, predictor._build_split_pipeline) sidesteps the
+# fused-program fault: b20 and b24 ran clean on the v5e where the fused
+# form crashes (tools/probe_mc_iid_split.py, 2026-08-20; b24 =
+# 36.6 img/s). Larger batches are untested at runtime — the compile-time
+# guard still bounds them, but this family has shown compile-clean
+# runtime faults before, so the cap advances only with empirical proof.
+MC_IID_SPLIT_PROVEN_SAFE_BATCH = 24
+
 
 def runtime_safe_batch_cap(cfg) -> Optional[int]:
     """Empirical batch cap for pipelines where compile-time analysis is
@@ -39,6 +48,8 @@ def runtime_safe_batch_cap(cfg) -> Optional[int]:
     trustworthy. Consulted by `--batch-size auto` (cli/apply_net.py)."""
     pi = cfg.PROBABILISTIC_INFERENCE
     if "mc_iid" in (pi.CLS_SAMPLING, pi.BOX_SAMPLING):
+        if pi.SPLIT_HEAD_PROGRAM:
+            return MC_IID_SPLIT_PROVEN_SAFE_BATCH
         return MC_IID_PROVEN_SAFE_BATCH
     return None
 
@@ -121,6 +132,65 @@ def pick_max_batch(
             log(f"[{name}] auto batch -> {batch}")
             return batch, compiled, info_all
     return None, None, info_all
+
+
+def predictor_programs(predictor, batch: int, canvas) -> list:
+    """(name, jitted, args) triples covering every XLA program in a
+    predictor's pipeline at one batch size — ShapeDtypeStruct image args,
+    so guarding stays compile-only. Fused pipelines yield one program;
+    SPLIT_HEAD_PROGRAM pipelines yield head + tail (the tail's argument
+    shapes come from eval_shape of the head, so the seam buffers are
+    accounted as the tail's arguments)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    images = jax.ShapeDtypeStruct((batch, *canvas, 3), jnp.float32)
+    sizes = jax.ShapeDtypeStruct((batch, 2), jnp.float32)
+    rng = jax.ShapeDtypeStruct(key.shape, key.dtype)
+    if predictor._head_fn is None:
+        return [
+            ("pipeline", predictor._fn,
+             (predictor.params, images, rng, sizes, sizes)),
+        ]
+    head_args = (predictor.params, images, rng)
+    head_out = jax.eval_shape(predictor._head_fn, *head_args)
+    return [
+        ("head", predictor._head_fn, head_args),
+        ("tail", predictor._tail_fn, tuple(head_out) + (sizes, sizes)),
+    ]
+
+
+def pick_max_batch_programs(
+    programs_for_batch,
+    candidates,
+    name: str = "program",
+    budget_bytes: float = HBM_BUDGET_BYTES,
+    log=_log,
+):
+    """pick_max_batch generalized to multi-program pipelines: the first
+    (descending) candidate where EVERY program of the pipeline fits the
+    budget. `programs_for_batch(batch)` returns (name, jitted, args)
+    triples (see predictor_programs). Returns (batch, info) or
+    (None, info)."""
+    info_all = {}
+    for batch in candidates:
+        infos = {}
+        ok = True
+        for prog_name, jitted, args in programs_for_batch(batch):
+            compiled, info = guarded_compile(
+                jitted, args, name=f"{name}_{prog_name}_b{batch}",
+                budget_bytes=budget_bytes, log=log,
+            )
+            infos[prog_name] = info
+            if compiled is None:
+                ok = False
+                break
+        info_all[batch] = infos
+        if ok:
+            log(f"[{name}] auto batch -> {batch}")
+            return batch, info_all
+    return None, info_all
 
 
 def synthetic_box(rng: np.random.RandomState) -> np.ndarray:

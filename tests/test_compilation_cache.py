@@ -178,8 +178,8 @@ def test_sync_warm_cache_alternating_generations_no_churn(tmp_path, monkeypatch)
 def test_sync_warm_cache_byte_cap_lru(tmp_path, monkeypatch):
     """VERDICT r4 #7: the git-tracked seed is bounded — over the cap, the
     oldest-seen entries are evicted first; entries hit by the persistent
-    cache this session refresh their seen ordinal and survive; entries
-    fresh this sync are never evicted."""
+    cache (or freshly written by a compile) this session refresh their
+    seen ordinal and survive."""
     live = tmp_path / "live"
     seed = tmp_path / "seed"
     live.mkdir()
@@ -194,22 +194,52 @@ def test_sync_warm_cache_byte_cap_lru(tmp_path, monkeypatch):
     # sync 2: a fresh entry pushes the seed over the cap; jit_hot is hit
     # this session, jit_stale is not — jit_stale is the LRU victim.
     _write(live / "jit_fresh-cache", 60)
-    assert cc.sync_warm_cache(cap_bytes=150, hit_keys={"jit_hot-cache"}) == 1
+    assert cc.sync_warm_cache(
+        cap_bytes=150, hit_keys={"jit_hot-cache", "jit_fresh-cache"}
+    ) == 1
     names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
     assert names == {"jit_hot-cache", "jit_fresh-cache"}
     manifest = cc._load_manifest(str(seed))
     assert manifest["entries"]["jit_hot-cache"]["seen"] == 2
-    # cap smaller than the current-sync set: current-sync entries are
-    # exempt, so the seed may exceed the cap rather than evict them.
-    # (Drop the evicted entry from the live dir too — in the real flow a
+
+
+def test_sync_warm_cache_byte_cap_is_hard(tmp_path, monkeypatch):
+    """Round-5 postmortem: entries merely PRESENT in the shared live
+    cache (probe runs, test-suite programs) must NOT count as live — a
+    fresh-entry eviction exemption let 5k such leftovers balloon the
+    git-tracked seed to 568 MB. The cap now holds unconditionally:
+    copied-but-not-observed-live entries are evicted before live ones,
+    and live ones shed largest-first if the live set alone overflows."""
+    live = tmp_path / "live"
+    seed = tmp_path / "seed"
+    live.mkdir()
+    monkeypatch.setattr(cc, "_DEFAULT_CACHE_DIR", str(live))
+    monkeypatch.setattr(cc, "_ACTIVE_CACHE_DIR", None)
+    monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
+
+    # A big leftover (another process's probe) + two live entries: the
+    # leftover goes first even though it is fresh this sync.
+    _write(live / "jit_leftover-cache", 500)
+    _write(live / "jit_live_small-cache", 40)
+    _write(live / "jit_live_big-cache", 100)
+    hit = {"jit_live_small-cache", "jit_live_big-cache"}
+    assert cc.sync_warm_cache(cap_bytes=150, hit_keys=hit) == 3
+    names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
+    assert names == hit
+    # Live set alone over the cap: largest live entry is shed first (the
+    # small-program long tail is the expensive part of a cold start).
+    # (Drop the evicted leftover from the live dir — in the real flow a
     # fresh container's live cache is seeded FROM the repo dir, so an
     # evicted entry only reappears if genuinely recompiled.)
-    os.remove(live / "jit_stale-cache")
-    _write(live / "jit_fresh2-cache", 60)
-    _write(live / "jit_fresh3-cache", 60)
-    assert cc.sync_warm_cache(cap_bytes=10, hit_keys=set()) == 2
+    os.remove(live / "jit_leftover-cache")
+    assert cc.sync_warm_cache(cap_bytes=50, hit_keys=hit) == 0
     names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
-    assert {"jit_fresh2-cache", "jit_fresh3-cache"} <= names
+    assert names == {"jit_live_small-cache"}
+    # The default live record is hits ∪ writes: the write recorder marks
+    # keys compiled this session.
+    cc._install_write_recorder()
+    from jax._src import compilation_cache as jax_cc
+    assert getattr(jax_cc.put_executable_and_time, "_pod_compare_record", False)
 
 
 def test_read_retry_retries_errors_not_misses(monkeypatch):

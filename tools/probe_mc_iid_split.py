@@ -28,6 +28,16 @@ test. Numerics are unchanged (same ops, same keys, same order).
     timeout 1800 python tools/probe_mc_iid_split.py 20   # fault probe
     timeout 1800 python tools/probe_mc_iid_split.py 16   # safe control
 
+RESULTS (v5e-1, 2026-08-20): the split form SURVIVES b20 and b24 —
+the first positive mitigation in the DESIGN.md §5d ledger. b16 = 32.1,
+b20 = 32.1, b24 = 36.6 img/s (the fused pipeline's proven ceiling is
+b16 = 35.8; fused b20 crashes the worker). Productionized as
+PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM
+(inference/predictor.py::_build_split_pipeline); set PROBE_PRODUCTION=1
+to drive that production path instead of the hand-rolled programs below
+(the production head additionally transposes the per-run deltas
+batch-leading at the seam).
+
 Reference semantics being served: probabilistic_inference.py:289-374
 (10 iid cls samples + 1000 MVN box draws per candidate).
 """
@@ -66,6 +76,9 @@ def main():
     cfg.PROBABILISTIC_INFERENCE.BOX_SAMPLING = os.environ.get(
         "PROBE_BOX_SAMPLING", "mc_iid"
     )
+    production = os.environ.get("PROBE_PRODUCTION", "") not in ("", "0")
+    if production:
+        cfg.PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM = True
     model = build_model(cfg)
     params = init_model_params(model, bench.BDD_CANVAS, seed=0)
     predictor = build_predictor(cfg, bench.BDD_CANVAS, params=params)
@@ -108,6 +121,9 @@ def main():
             output_sizes[:, 0], output_sizes[:, 1],
         )
 
+    if production:
+        head_fn, tail_fn = predictor._head_fn, predictor._tail_fn
+
     for batch in batches:
         rng = np.random.RandomState(0)
         images = jnp.asarray(
@@ -129,7 +145,9 @@ def main():
             head_fn, predictor.params, images, key
         )
         tail_args = tuple(
-            jnp.zeros(o.shape, o.dtype) for o in head_out
+            jax.tree_util.tree_map(
+                lambda o: jnp.zeros(o.shape, o.dtype), head_out
+            )
         ) + (sizes, sizes)
         # Tail keys are uint32 PRNG keys — eval_shape gives the right dtype.
         tail_c, tail_info = guarded_compile(
