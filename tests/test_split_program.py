@@ -175,6 +175,30 @@ def test_runtime_safe_batch_cap_split_aware():
     assert runtime_safe_batch_cap(cfg) is None
 
 
+def test_split_predictor_exports_and_roundtrips(tmp_path):
+    """AOT export traces predictor._fn — in split mode a plain Python
+    composition of the two jitted programs, which must inline into ONE
+    StableHLO artifact whose outputs equal the live split predictor
+    bit-for-bit (the artifact re-fuses the seam; that only matters on
+    the faulting v5e runtime, not for numerics)."""
+    from pod_compare_tpu.inference.export import load_artifact, save_artifact
+
+    cfg = make_cfg("bayes_od_mc_dropout.yaml", split=True)
+    model = build_model(cfg)
+    params = init_model_params(model, IMAGE_SIZE, seed=0)
+    pred = build_predictor(cfg, IMAGE_SIZE, params=params)
+    out = save_artifact(
+        pred, str(tmp_path / "artifact"), batch_size=BATCH,
+        platforms=("cpu",),
+    )
+    served = load_artifact(out)
+    images, input_sizes, output_sizes = _inputs()
+    rng = jax.random.PRNGKey(7)
+    live = pred(images, input_sizes, output_sizes, rng)
+    frozen = served(images, input_sizes, output_sizes, rng)
+    _assert_bitwise_equal(live, frozen)
+
+
 def test_predictor_programs_guard_covers_split():
     """predictor_programs yields head+tail for split pipelines and the
     multi-program auto-batch guard picks a batch that fits."""
