@@ -58,8 +58,13 @@ BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 # the fused b16 ceiling), so the mc_iid leg now ships split at b24.
 # Set BENCH_MC_IID_SPLIT=0 BENCH_MC_IID_BATCH=16 to measure the legacy
 # fused form.
-MC_IID_BATCH = int(os.environ.get("BENCH_MC_IID_BATCH", "24"))
 MC_IID_SPLIT = os.environ.get("BENCH_MC_IID_SPLIT", "1") not in ("", "0")
+# The default batch follows the pipeline layout: 24 is only proven safe
+# for the SPLIT form — the fused form kernel-faults the worker at b17+,
+# so turning the split off alone must drop the batch back to 16.
+MC_IID_BATCH = int(
+    os.environ.get("BENCH_MC_IID_BATCH", "24" if MC_IID_SPLIT else "16")
+)
 # Training leg (reference-exact iid banks): batch 16 measured 8.07 GB
 # peak / 83.5 img/s (DESIGN.md §5b); proven safe on the v5e worker.
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
@@ -115,6 +120,17 @@ def measure(sampling: str, batch_size: int, params):
         # mc_iid runtime fault; lifts the batch cap 16 -> 24
         # (DESIGN.md §5d exp. 7, utils/hbm_guard.py).
         cfg.PROBABILISTIC_INFERENCE.SPLIT_HEAD_PROGRAM = True
+    from pod_compare_tpu.utils.hbm_guard import runtime_safe_batch_cap
+
+    cap = runtime_safe_batch_cap(cfg)
+    if cap is not None and batch_size > cap:
+        # The runtime fault is invisible to the compile-time guard; an
+        # env override past the proven boundary costs a ~50-min worker
+        # outage, so clamp instead of trusting it.
+        log(f"[{sampling}] batch {batch_size} exceeds the proven runtime "
+            f"boundary for this pipeline family — clamping to {cap} "
+            "(utils/hbm_guard.py)")
+        batch_size = cap
     predictor = build_predictor(cfg, BDD_CANVAS, params=params)
 
     rng = np.random.RandomState(0)

@@ -190,22 +190,31 @@ def run_inference(
         from pod_compare_tpu.parallel.mesh import data_sharding
 
         batch_sharding = data_sharding(predictor.mesh)
-    feed = (
+    prefetcher = (
         DevicePrefetcher(loader, sharding=batch_sharding)
         if cfg.DATALOADER.H2D_OVERLAP
-        else iter(loader)
+        else None
     )
-    pending = None
-    for batch in feed:
-        rng, key = jax.random.split(rng)
-        dets = predictor(
-            batch["images"], batch["input_sizes"], batch["output_sizes"], key
-        )
+    feed = prefetcher if prefetcher is not None else iter(loader)
+    try:
+        pending = None
+        for batch in feed:
+            rng, key = jax.random.split(rng)
+            dets = predictor(
+                batch["images"], batch["input_sizes"], batch["output_sizes"],
+                key,
+            )
+            if pending is not None:
+                drain(pending)
+            pending = (dets, batch)
         if pending is not None:
             drain(pending)
-        pending = (dets, batch)
-    if pending is not None:
-        drain(pending)
+    finally:
+        # Abandoned mid-loop (e.g. a transient backend error): unpark the
+        # prefetch thread so it stops holding device batches + the
+        # loader's worker pool (loader.py::DevicePrefetcher.close).
+        if prefetcher is not None:
+            prefetcher.close()
     profile_ctx.__exit__(None, None, None)
     elapsed = time.time() - start
     logger.info(

@@ -361,31 +361,76 @@ class DevicePrefetcher:
 
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._error = None
+        self._stop = threading.Event()
+        self._done = False
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when close() raises the stop flag
+            (an abandoned consumer never drains the queue)."""
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in batches:
+                    if self._stop.is_set():
+                        return
                     out = dict(batch)
                     for k in keys:
                         if k in out:
                             out[k] = jax.device_put(out[k], sharding)
-                    self._queue.put(out)
+                    if not _put(out):
+                        return
             except BaseException as exc:  # propagate to the consumer
                 self._error = exc
             finally:
-                self._queue.put(None)
+                _put(None)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
     def __iter__(self):
+        if self._done:
+            # Single-pass iterable (like the generator it wraps): a second
+            # iteration yields nothing instead of blocking on a queue no
+            # worker will ever fill again.
+            return
         while True:
             item = self._queue.get()
             if item is None:
+                self._done = True
                 if self._error is not None:
                     raise self._error
                 return
             yield item
+
+    def close(self):
+        """Stop the worker and release its in-flight device batches.
+
+        Must be called from the (single) consumer thread when iteration
+        is abandoned before exhaustion — e.g. the inference loop raised —
+        otherwise the worker thread stays parked in `put` holding up to
+        `depth` device-resident batches and the wrapped loader's worker
+        pool for the process lifetime. Idempotent; safe after
+        exhaustion."""
+        self._stop.set()
+        self._done = True
+        while self._thread.is_alive():
+            try:  # unblock a worker parked on a full queue
+                self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)
+        try:  # drop buffered batches so their device memory frees now
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class TestLoader:

@@ -88,10 +88,28 @@ _MANIFEST_NAME = "MANIFEST.json"
 _GENERATION_GRACE = 2  # syncs a generation may go unseen before pruning
 
 # Hard size cap for the git-tracked seed dir (VERDICT r4 #7: the seed had
-# grown to 269 MB, comparable to the repo's whole git history).
+# grown to 269 MB, comparable to the repo's whole git history). 200 MB
+# because TWO workloads' live sets share the seed: the TPU bench's
+# executables (~150 MB — three big pipelines + the small-program tail)
+# AND the CPU-mesh gate/test-suite programs (~30-40 MB) that
+# dryrun_multichip syncs; a cap below their sum makes alternating
+# bench/gate syncs evict each other's entries every run.
 SEED_CAP_BYTES = int(
-    os.environ.get("POD_COMPARE_WARM_CACHE_CAP_BYTES", int(150e6))
+    os.environ.get("POD_COMPARE_WARM_CACHE_CAP_BYTES", int(200e6))
 )
+
+# jax's LRUCache names cache files "{key}-cache" (jax._src.lru_cache.
+# _CACHE_SUFFIX) while the read/write wrappers observe BARE keys —
+# match on the stem so the live set maps onto seed file names.
+_CACHE_FILE_SUFFIX = "-cache"
+
+
+def _key_stem(name: str) -> str:
+    return (
+        name[: -len(_CACHE_FILE_SUFFIX)]
+        if name.endswith(_CACHE_FILE_SUFFIX)
+        else name
+    )
 
 
 def _version_tag() -> str:
@@ -297,21 +315,22 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
       never match that environment again). The grace window keeps two
       toolchains alternating against the same seed (version-matrix CI)
       from churning each other's entries every run.
-    * HARD LRU byte cap (`cap_bytes`, default SEED_CAP_BYTES = 150 MB):
-      entries OBSERVED LIVE this session — actually hit by the
+    * HARD LRU byte cap (`cap_bytes`, default SEED_CAP_BYTES = 200 MB):
+      only entries OBSERVED LIVE this session — actually hit by the
       persistent cache or freshly written by a compile (`hit_keys`,
-      default: the read/write wrappers' records) — refresh their "seen"
-      ordinal. Over the cap, eviction order is (1) stale entries
-      (seen < now), oldest then largest first; (2) entries copied this
-      sync but NOT observed live (present in the shared live-cache dir
-      from probe runs / test suites / superseded revisions); (3) live
-      entries, largest first — the long tail of small programs is the
+      default: the read/write wrappers' records, matched against file
+      names by key stem — jax names files "{key}-cache") — refresh
+      their "seen" ordinal; entries merely PRESENT in the shared
+      live-cache dir (probe runs, test suites, superseded revisions)
+      enter at seen=0. Over the cap, eviction is (seen ascending, then
+      largest first): never-live leftovers go first, older live
+      cohorts (e.g. the TPU bench set during a CPU gate sync) survive
+      as long as the cap allows, and this session's live set is shed
+      last, largest first — the long tail of small programs is the
       expensive part of a cold start (~9 min vs ~1-3 min for the big
-      pipelines, round-4 measurement), so when something live must go,
-      shedding the largest loses the least warm-start value. The cap
-      holds unconditionally (round-5 postmortem: a fresh-entry
-      exemption let 5k probe/test leftovers balloon the seed to
-      568 MB).
+      pipelines, round-4 measurement). The cap holds unconditionally
+      (round-5 postmortem: a fresh-entry exemption let 5k probe/test
+      leftovers balloon the seed to 568 MB).
 
     Returns the number of entries newly copied.
     """
@@ -323,10 +342,6 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
     if hit_keys is None:
         hit_keys = _HIT_KEYS | _WRITTEN_KEYS
     sdir = seed_dir()
-    before = set(
-        name for name in (os.listdir(sdir) if os.path.isdir(sdir) else [])
-        if name != _MANIFEST_NAME
-    )
     n = _copy_if_absent(cache, sdir, min_bytes=min_bytes)
     tag = _version_tag()
     manifest = _load_manifest(sdir)
@@ -349,14 +364,20 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
         entries.pop(name, None)
         return True
 
+    def _is_live(name):
+        return name in hit_keys or _key_stem(name) in hit_keys
+
     for name in names:
         rec = entries.get(name)
-        fresh = name not in before
+        live = _is_live(name)
         if rec is None:
-            # New this sync, or pre-manifest: produced by (or seeded
-            # into) the current environment — tag as current.
-            entries[name] = {"gen": tag, "seen": now}
-        elif fresh or name in hit_keys:
+            # New this sync, or pre-manifest: tagged current generation.
+            # Only entries observed live get this sync's ordinal —
+            # leftovers merely present in the shared live-cache dir
+            # (probe runs, test suites) enter at seen=0, first in the
+            # eviction order.
+            entries[name] = {"gen": tag, "seen": now if live else 0}
+        elif live:
             rec["seen"] = now
             rec["gen"] = tag
         elif (
@@ -379,9 +400,9 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
         g: s for g, s in gens.items() if g in live_gens
     }
 
-    # HARD LRU byte cap. Eviction classes (see docstring): stale first
-    # (oldest-seen, then largest), then entries present-but-not-observed
-    # -live this session, then live entries largest-first.
+    # HARD LRU byte cap: evict (oldest seen cohort, largest first) until
+    # under the cap — never-live leftovers (seen=0) first, older live
+    # cohorts next, this session's live set last (see docstring).
     evicted = 0
     sizes = {}
     for name in entries:
@@ -391,17 +412,9 @@ def sync_warm_cache(min_bytes: int = SEED_MIN_BYTES, log=None,
             sizes[name] = 0
     total = sum(sizes.values())
     if total > cap_bytes:
-        live = {name for name in entries if name in hit_keys}
-
-        def _evict_order(name):
-            rec = entries[name]
-            if rec["seen"] < now:
-                return (0, rec["seen"], -sizes[name])
-            if name not in live:
-                return (1, 0, -sizes[name])
-            return (2, 0, -sizes[name])
-
-        for name in sorted(entries, key=_evict_order):
+        for name in sorted(
+            entries, key=lambda n: (entries[n]["seen"], -sizes[n])
+        ):
             if total <= cap_bytes:
                 break
             if _remove(name):

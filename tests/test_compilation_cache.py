@@ -54,15 +54,17 @@ def test_sync_warm_cache_round_trip(tmp_path, monkeypatch):
         cc._MANIFEST_NAME, "jit_pipeline-deadbeef-cache",
         "jit_tiny-cafe-cache",
     ]
-    # every synced entry is tagged with the current toolchain generation
-    # and the sync ordinal at which it was last observed live
+    # every synced entry is tagged with the current toolchain generation;
+    # the seen ordinal stays 0 until the entry is OBSERVED LIVE (hit or
+    # written by the wrappers) — merely being present in the live dir
+    # does not refresh it (round-5 hard-cap postmortem).
     tag = cc._version_tag()
     manifest = cc._load_manifest(str(seed))
     assert manifest["syncs"] == 1
     assert manifest["generations"] == {tag: 1}
     assert manifest["entries"] == {
-        "jit_pipeline-deadbeef-cache": {"gen": tag, "seen": 1},
-        "jit_tiny-cafe-cache": {"gen": tag, "seen": 1},
+        "jit_pipeline-deadbeef-cache": {"gen": tag, "seen": 0},
+        "jit_tiny-cafe-cache": {"gen": tag, "seen": 0},
     }
     # idempotent
     assert cc.sync_warm_cache() == 0
@@ -128,7 +130,7 @@ def test_sync_warm_cache_prunes_stale_generations(tmp_path, monkeypatch):
     assert sorted(os.listdir(seed)) == [cc._MANIFEST_NAME, "jit_new-cache"]
     manifest = cc._load_manifest(str(seed))
     assert manifest["entries"] == {
-        "jit_new-cache": {"gen": cc._version_tag(), "seen": 1}
+        "jit_new-cache": {"gen": cc._version_tag(), "seen": 0}
     }
     assert manifest["generations"] == {cc._version_tag(): 2}
     # prune_stale=False keeps foreign generations (opt-out) forever
@@ -218,14 +220,17 @@ def test_sync_warm_cache_byte_cap_is_hard(tmp_path, monkeypatch):
     monkeypatch.setenv("POD_COMPARE_WARM_CACHE", str(seed))
 
     # A big leftover (another process's probe) + two live entries: the
-    # leftover goes first even though it is fresh this sync.
+    # leftover goes first even though it is fresh this sync. The hit set
+    # carries BARE jax cache keys while files are named "{key}-cache"
+    # (jax LRUCache suffix) — the sync must match on the stem, or live
+    # entries silently lose their protection (round-5 review finding).
     _write(live / "jit_leftover-cache", 500)
     _write(live / "jit_live_small-cache", 40)
     _write(live / "jit_live_big-cache", 100)
-    hit = {"jit_live_small-cache", "jit_live_big-cache"}
+    hit = {"jit_live_small", "jit_live_big"}
     assert cc.sync_warm_cache(cap_bytes=150, hit_keys=hit) == 3
     names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
-    assert names == hit
+    assert names == {"jit_live_small-cache", "jit_live_big-cache"}
     # Live set alone over the cap: largest live entry is shed first (the
     # small-program long tail is the expensive part of a cold start).
     # (Drop the evicted leftover from the live dir — in the real flow a
@@ -235,6 +240,15 @@ def test_sync_warm_cache_byte_cap_is_hard(tmp_path, monkeypatch):
     assert cc.sync_warm_cache(cap_bytes=50, hit_keys=hit) == 0
     names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
     assert names == {"jit_live_small-cache"}
+    # An older live cohort (the TPU bench set during a later CPU gate
+    # sync) survives as long as the cap allows: the never-live newcomer
+    # is evicted first even though the cohort's seen is older.
+    os.remove(live / "jit_live_big-cache")
+    _write(live / "jit_gate-cache", 40)
+    _write(live / "jit_noise-cache", 40)
+    assert cc.sync_warm_cache(cap_bytes=90, hit_keys={"jit_gate"}) == 2
+    names = set(os.listdir(seed)) - {cc._MANIFEST_NAME}
+    assert names == {"jit_live_small-cache", "jit_gate-cache"}
     # The default live record is hits ∪ writes: the write recorder marks
     # keys compiled this session.
     cc._install_write_recorder()

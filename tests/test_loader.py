@@ -145,3 +145,35 @@ def test_device_prefetcher_order_content_and_errors(synth):
     next(it)
     with pytest.raises(RuntimeError, match="decode exploded"):
         next(it)
+
+
+def test_device_prefetcher_close_and_reiterate(synth):
+    """close() mid-iteration unparks the worker thread (it would
+    otherwise hold device batches + the loader's worker pool forever);
+    a second iteration of an exhausted prefetcher yields nothing
+    instead of blocking on a queue no worker will refill."""
+    import time
+
+    from pod_compare_tpu.data.loader import DevicePrefetcher
+
+    loader = TestLoader(synth, batch_size=1, min_size=48, max_size=1333)
+    pf = DevicePrefetcher(iter(loader), depth=1)
+    it = iter(pf)
+    next(it)  # abandon after one batch, worker parked on the full queue
+    pf.close()
+    deadline = time.time() + 10
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not pf._thread.is_alive()
+    assert pf._queue.empty()
+    pf.close()  # idempotent
+    assert list(pf) == []  # closed/exhausted: yields nothing, no hang
+    loader.close()
+
+    # exhausted (not closed) prefetcher: re-iteration terminates
+    loader2 = TestLoader(synth, batch_size=2, min_size=48, max_size=1333)
+    pf2 = DevicePrefetcher(iter(loader2))
+    n = len(list(pf2))
+    assert n > 0
+    assert list(pf2) == []
+    loader2.close()
